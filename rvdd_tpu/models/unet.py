@@ -1,0 +1,185 @@
+"""ConvUNet family ('convunet'): plain conv U-Nets with optional feature
+recurrence.
+
+Functional re-design of the reference architectures (reference:
+networks/unet.py:259-825).  The released checkpoints use the
+'fixedfeatures' variants (constant 48 channels at every scale, the global
+default netDenoiser; reference: options/base_options.py:31); the
+channel-doubling 'default/concat' mode is also supported.
+
+Feature recurrence is an explicit data path: ``apply(params, x, feat)``
+returns ``(y, new_feat)`` where ``new_feat`` is the penultimate
+post-processing activation (what the reference captures with a forward hook
+on PostConvs[-2]; reference: networks/unet.py:808-825).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from rvdd_tpu.ops.resize import (
+    avgpool2x2,
+    maxpool2x2,
+    upsample2x_bilinear,
+    upsample2x_nearest,
+)
+
+
+def zero_pad_to(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Center a feature map in a zero canvas of (h, w) (reference:
+    networks/unet.py:151-170)."""
+    dh = (h - x.shape[-3]) // 2
+    dw = (w - x.shape[-2]) // 2
+    return jnp.pad(
+        x,
+        [(0, 0)] * (x.ndim - 3)
+        + [(dh, h - x.shape[-3] - dh), (dw, w - x.shape[-2] - dw), (0, 0)],
+    )
+
+
+def _activation(name: str):
+    if name == "silu":
+        return nn.silu
+    return nn.relu
+
+
+class NConvBlock(nn.Module):
+    """n x (3x3 conv + activation); the per-scale block."""
+
+    features: int
+    n_blocks: int = 2
+    activation: str = "relu"
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        act = _activation(self.activation)
+        for j in range(self.n_blocks):
+            x = nn.Conv(self.features, (3, 3), padding=1, use_bias=self.use_bias, name=f"conv{j}")(x)
+            x = act(x)
+        return x
+
+
+class ConvUNet(nn.Module):
+    """U-Net with conv(+pool) downsampling and bilinear-up decoder.
+
+    fixed_features=True -> constant ``filters`` channels at every scale (the
+    released 'convunet-mode=fixedfeatures'); False -> channels double per
+    scale (reference 'default'/'concat' mode).
+    feature_rec=True -> the '+feat' variant with a preprocessing conv and a
+    48-channel recurrent feature input.
+    """
+
+    in_channels: int
+    out_channels: int
+    filters: int = 48
+    depth: int = 4
+    bottleneck_depth: int = 2
+    post_depth: int = 2
+    n_blocks_encoder: int = 2
+    n_blocks_decoder: int = 2
+    downsampling_mode: str = "convmax"
+    upsampling_mode: str = "bilinear"
+    activation: str = "relu"
+    use_bias: bool = True
+    residual: bool = False
+    fixed_features: bool = True
+    feature_rec: bool = False
+
+    def _enc_features(self, i: int) -> int:
+        return self.filters if self.fixed_features else self.filters * 2**i
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, feat: Optional[jnp.ndarray] = None):
+        act = _activation(self.activation)
+
+        if self.feature_rec:
+            if feat is None:
+                raise ValueError("feature-recurrent net needs a feat input")
+            y = nn.Conv(self.filters, (3, 3), padding=1, use_bias=self.use_bias, name="pre")(x)
+            x_in = jnp.concatenate([y, feat], axis=-1)
+        else:
+            x_in = x
+
+        # encoder
+        skips = []
+        h = x_in
+        for i in range(self.depth):
+            h = NConvBlock(
+                self._enc_features(i),
+                self.n_blocks_encoder,
+                self.activation,
+                self.use_bias,
+                name=f"enc_conv{i}",
+            )(h)
+            skips.append(h)
+            if i < self.depth - 1:
+                h = self._downsample(h, i)
+
+        # bottleneck with running residual accumulator
+        # (reference: networks/unet.py:560-567)
+        d = skips[-1]
+        s = d
+        bneck_feat = self._enc_features(self.depth - 1)
+        for i in range(self.bottleneck_depth):
+            d = nn.Conv(bneck_feat, (3, 3), padding=1, use_bias=self.use_bias, name=f"bottleneck{i}")(d)
+            d = act(d)
+            s = s + d
+        d = s
+
+        # decoder
+        for i in range(self.depth - 1):
+            lvl = self.depth - 2 - i  # encoder level being fused
+            feats = self._enc_features(lvl)
+            d = self._upsample(d)
+            d = nn.Conv(feats, (3, 3), padding=1, use_bias=self.use_bias, name=f"dec_up{i}")(d)
+            d = act(d)
+            skip = skips[lvl]
+            d = zero_pad_to(d, skip.shape[-3], skip.shape[-2])
+            d = jnp.concatenate([skip, d], axis=-1)
+            d = NConvBlock(
+                feats, self.n_blocks_decoder, self.activation, self.use_bias, name=f"dec_conv{i}"
+            )(d)
+
+        # post-processing; the activation before the final 1x1 conv is the
+        # recurrent feature state.
+        for i in range(self.post_depth - 1):
+            d = nn.Conv(self.filters, (3, 3), padding=1, use_bias=self.use_bias, name=f"post{i}")(d)
+            d = act(d)
+        new_feat = d if self.feature_rec else None
+        d = nn.Conv(self.out_channels, (1, 1), use_bias=self.use_bias, name="post_final")(d)
+
+        if self.residual:
+            # global residual assumes the first 4 input channels are raw
+            # (reference: networks/unet.py:550,585-587)
+            d = x[..., 4:] - d
+        return d, new_feat
+
+    def _downsample(self, h, i):
+        mode = self.downsampling_mode
+        feats = self._enc_features(i)
+        if mode in ("convmax", "convavg"):
+            h = nn.Conv(feats, (3, 3), padding=1, use_bias=self.use_bias, name=f"enc_down{i}")(h)
+            return maxpool2x2(h) if mode == "convmax" else avgpool2x2(h)
+        if mode == "maxpool":
+            return maxpool2x2(h)
+        if mode == "stridedconv":
+            return nn.Conv(
+                feats, (2, 2), strides=(2, 2), use_bias=self.use_bias, name=f"enc_down{i}"
+            )(h)
+        raise NotImplementedError(f"downsampling_mode {mode}")
+
+    def _upsample(self, d):
+        if self.upsampling_mode == "bilinear":
+            # torch nn.Upsample default: align_corners=False
+            return upsample2x_bilinear(d, align_corners=False)
+        if self.upsampling_mode == "nearest":
+            return upsample2x_nearest(d)
+        raise NotImplementedError(f"upsampling_mode {self.upsampling_mode}")
+
+    def nil_features(self, batch: int, h: int, w: int, dtype=jnp.float32):
+        """Zero recurrent feature state (reference: networks/unet.py:820-825)."""
+        return jnp.zeros((batch, h, w, self.filters), dtype)

@@ -1,0 +1,39 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+TPU hardware is not needed for correctness tests; sharding tests use the
+host-platform device-count override.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib
+
+import numpy as np
+import pytest
+
+GOLDEN_DIR = pathlib.Path(__file__).parent / "golden"
+
+
+@pytest.fixture(scope="session")
+def golden():
+    """Load a golden fixture .npz by name, or skip if not generated."""
+
+    def _load(name: str):
+        path = GOLDEN_DIR / f"{name}.npz"
+        if not path.exists():
+            pytest.skip(f"golden fixture {name}.npz not generated (run tools/make_goldens.py)")
+        return np.load(path, allow_pickle=True)
+
+    return _load
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
