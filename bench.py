@@ -1,0 +1,99 @@
+"""Headline benchmark: 1080p recurrent denoise+demosaic throughput per chip.
+
+Protocol (BASELINE.md north star): recurrent convunet+feat streaming
+inference — Hamilton-Adams pre-demosaic, flow-guided bicubic warp of the
+previous output and feature map, U-Net forward — on 1080p output frames
+(packed GBRG raw input 540x960x4 -> RGB 1080x1920x3), flows precomputed
+(the reference precomputes them offline too).  Prints one JSON line.
+
+    python bench.py [--model convunet+feat] [--frames 30] [--exact]
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="convunet+feat",
+                    choices=["convunet", "convunet+feat", "convnext+feat+future"])
+    ap.add_argument("--frames", type=int, default=30)
+    ap.add_argument("--height", type=int, default=540)   # raw half-res
+    ap.add_argument("--width", type=int, default=960)
+    ap.add_argument("--exact", action="store_true", help="fp32-exact convs")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    if args.exact:
+        from rvdd_tpu.precision import use_exact_precision
+
+        use_exact_precision()
+
+    from rvdd_tpu.models import build_network
+    from rvdd_tpu.models.factory import init_network
+    from rvdd_tpu.recurrent.engine import EngineConfig, inference_step, prepare_frames
+
+    fd = 1 if "future" in args.model else 0
+    feat = "feat" in args.model
+    arch = {
+        "convunet": "convunet-mode=fixedfeatures",
+        "convunet+feat": "convunet-mode=fixedfeatures+feat",
+        "convnext+feat+future": "newunet-mode=feat",
+    }[args.model]
+    cfg = EngineConfig(
+        model_patch_depth=2, patch_depth=2 + fd, future_patch_depth=fd, feature_rec=feat
+    )
+    net = build_network(arch, cfg.network_input_nc, 3, feat)
+    h, w = args.height, args.width
+    params = init_network(net, jax.random.PRNGKey(0), (1, 2 * 64, 2 * 64, cfg.network_input_nc))
+
+    win = cfg.d + 1 + fd
+
+    def step_fn(params, state, raw_window, flows):
+        frames, flows2 = prepare_frames(cfg, raw_window, flows)
+        nil = net.nil_features(1, 2 * h, 2 * w) if feat else None
+        return inference_step(cfg, net, params, state, frames, flows2[:, 0], nil)
+
+    step = jax.jit(step_fn, donate_argnums=(1,))
+
+    rng = np.random.default_rng(0)
+    raw_window = jnp.asarray(rng.uniform(-1, 1, (1, win, h, w, 4)).astype(np.float32))
+    flows = jnp.asarray(
+        (rng.standard_normal((1, 1, cfg.d + fd, h, w, 2)) * 2).astype(np.float32)
+    )
+
+    # init state from a first call with state=None
+    first = jax.jit(lambda p, r, f: step_fn(p, None, r, f))
+    den, state = first(params, raw_window, flows)
+    jax.block_until_ready(den)
+
+    # warmup the steady-state specialization
+    den, state = step(params, state, raw_window, flows)
+    jax.block_until_ready(den)
+
+    t0 = time.perf_counter()
+    for _ in range(args.frames):
+        den, state = step(params, state, raw_window, flows)
+    jax.block_until_ready(den)
+    dt = time.perf_counter() - t0
+    fps = args.frames / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": f"1080p_fps_per_chip_{args.model.replace('+', '_')}",
+                "value": round(fps, 2),
+                "unit": "frames/sec",
+                "vs_baseline": round(fps / 30.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,179 @@
+"""Options system: one dataclass mirroring the reference's 3-tier argparse
+surface (reference: options/base_options.py, options/train_options.py, and
+the model/dataset-injected flags).
+
+The experiment name is auto-generated the same way
+("%s-%s%s-i%do%d%s"; reference: options/base_options.py:130-136) so
+checkpoint directories line up with reference conventions.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+
+from rvdd_tpu.recurrent.engine import EngineConfig
+
+
+@dataclass
+class Options:
+    # basic
+    checkpoints_dir: str = "./checkpoints"
+    name: str = ""  # auto-generated if empty
+    suffix: str = ""
+    verbose: bool = False
+
+    # model
+    model: str = "recurrent"
+    input_nc: int = 3
+    output_nc: int = 3
+    netDenoiser: str = "convunet-mode=fixedfeatures"
+    init_type: str = "kaiming"
+    init_gain: float = 0.02
+    model_patch_depth: int = 2
+    unroll_focus: str = "gradual04_from20"
+    feature_rec: bool = False
+    prev_noisy_frame: bool = False
+    warp_raw: bool = False
+    no_predemosaic: bool = False
+    raw_gt: bool = False
+
+    # dataset
+    dataroot: str = "./datasets/train_dataset"
+    nFolder: str = "noisy"
+    gtFolder: str = "gt"
+    gt_linear_RGB_Folder: str = "gt_linear_RGB"
+    flowFolder: str = "flow"
+    bit_depth: int = 12
+    no_warp: bool = False
+    warp_method: str = "tvl1"
+    videos: str | None = None
+    dataset_mode: str = "axel4rec"
+    batch_size: int = 2
+    patch_width: int = 136
+    patch_stride: int = 3
+    patch_depth: int = 5
+    future_patch_depth: int = 0
+    frames2load: int = 10
+    crop_data: str | None = None
+    persist_flows: bool = True
+
+    # training
+    niter: int = 70
+    niter_decay: int = 30
+    beta1: float = 0.9
+    lr: float = 0.00016
+    lr_policy: str = "linear"
+    lr_decay_iters: int = 50
+    weight_decay: float = 0.01
+    optimizer: str = "adamw"
+    lambda_L1: float = 100.0
+    print_freq: int = 100
+    save_epoch_freq: int = 1
+    autoresume: bool = False
+    path2epoch: str = ""
+    epoch: str = "latest_val"
+    seed: int = 0
+
+    # validation
+    val_epoch_freq: int = 1
+    val_dataroot: str = "./datasets/validation_dataset"
+    val_videos: str = "000,001,002,003,004"
+    no_val: bool = False
+    val_flow_from_denoised: bool = False
+
+    # TPU-specific
+    mesh_shape: str = "data"  # data-parallel over all devices
+    exact_precision: bool = True  # fp32-exact convs (parity); False = bf16 MXU
+
+    isTrain: bool = True
+
+    def finalize(self) -> "Options":
+        if not self.name:
+            warpstr = "-warp" if not self.no_warp else ""
+            sufstr = f"-{self.suffix}" if self.suffix else ""
+            self.name = (
+                f"{self.model}-{self.netDenoiser}{warpstr}"
+                f"-i{self.input_nc}o{self.output_nc}{sufstr}"
+            )
+        return self
+
+    @property
+    def save_dir(self) -> str:
+        return os.path.join(self.checkpoints_dir, self.name)
+
+    def engine_config(self) -> EngineConfig:
+        return EngineConfig(
+            model_patch_depth=self.model_patch_depth,
+            patch_depth=self.patch_depth,
+            future_patch_depth=self.future_patch_depth,
+            input_nc=self.input_nc,
+            output_nc=self.output_nc,
+            no_warp=self.no_warp,
+            no_predemosaic=self.no_predemosaic,
+            warp_raw=self.warp_raw,
+            prev_noisy_frame=self.prev_noisy_frame,
+            feature_rec=self.feature_rec,
+            raw_gt=self.raw_gt,
+            lambda_l1=self.lambda_L1,
+        )
+
+    def gt_folder_for_mode(self) -> str:
+        return self.gtFolder if self.raw_gt else self.gt_linear_RGB_Folder
+
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(dataclasses.asdict(self), f, indent=2, default=str)
+
+    def dump(self) -> str:
+        lines = ["----------------- Options ---------------"]
+        for f_ in sorted(dataclasses.fields(self), key=lambda f: f.name):
+            lines.append(f"{f_.name:>25}: {getattr(self, f_.name)}")
+        lines.append("----------------- End -------------------")
+        return "\n".join(lines)
+
+
+def build_parser(train: bool = True) -> argparse.ArgumentParser:
+    """argparse mirror of the dataclass (flags keep the reference names)."""
+    p = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter
+    )
+    defaults = Options()
+    if train:
+        # reference train-mode default overrides
+        # (models/recurrent_model.py:27-28)
+        defaults.patch_depth = 5
+        defaults.patch_width = 136
+    for f_ in dataclasses.fields(Options):
+        if f_.name == "isTrain":
+            continue
+        default = getattr(defaults, f_.name)
+        arg = f"--{f_.name}"
+        if f_.type == "bool" or isinstance(default, bool):
+            if default:
+                p.add_argument(arg, action="store_true", default=True)
+                p.add_argument(
+                    f"--no_{f_.name}".replace("no_no_", "no_"),
+                    dest=f_.name,
+                    action="store_false",
+                )
+            else:
+                p.add_argument(arg, action="store_true", default=False)
+        elif isinstance(default, int):
+            p.add_argument(arg, type=int, default=default)
+        elif isinstance(default, float):
+            p.add_argument(arg, type=float, default=default)
+        else:
+            p.add_argument(arg, type=str, default=default)
+    return p
+
+
+def parse_options(argv=None, train: bool = True) -> Options:
+    args = build_parser(train).parse_args(argv)
+    opt = Options(**{k: v for k, v in vars(args).items()})
+    opt.isTrain = train
+    return opt.finalize()

@@ -1,0 +1,281 @@
+"""Recurrent denoising engine: the framework's heart.
+
+Functional re-design of the reference recurrentModel (reference:
+models/recurrent_model.py:38-538).  The recurrence state is an explicit
+pytree carried by the caller (or by ``lax.scan`` in streaming inference)
+instead of mutable attributes + forward hooks:
+
+    state = init_state(cfg, noisy_frames)       # from the first frames
+    outs, state = unrolled_forward(...)          # training (TD unrollings)
+    den, state = inference_step(...)             # one frame at a time
+    dens = scan_video(...)                       # whole clip, O(1) memory
+
+Layouts: frames are stacked on a leading time axis ([B, T, H, W, C]) rather
+than channel-concatenated; flows are [B, TD, D+fD, H, W, 2].
+
+Recurrence modes (reference README feature matrix, SURVEY §2.3):
+* non-recurrent (patch_depth == model_patch_depth -> 1 unrolling)
+* frame recurrent (carry denoised frames)
+* frame + feature recurrent (carry the 48-ch feature map too)
+* optional future frame(s), optional no-warp / raw-warp / prev-noisy
+  ablations, raw-domain ground truth.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rvdd_tpu.ops.bayer import remosaic
+from rvdd_tpu.ops.demosaic import hamilton_adams
+from rvdd_tpu.ops.metrics import psnr
+from rvdd_tpu.ops.warp import warp, flow_upsample_2x
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Static configuration of the recurrence (hashable; jit-friendly)."""
+
+    model_patch_depth: int = 2  # D+1: prev frames + current
+    patch_depth: int = 5  # frames per training sample
+    future_patch_depth: int = 0  # fD
+    input_nc: int = 3  # per-frame channels the net sees (3 RGB / 4 raw)
+    output_nc: int = 3
+    no_warp: bool = False
+    no_predemosaic: bool = False
+    warp_raw: bool = False
+    prev_noisy_frame: bool = False
+    feature_rec: bool = False
+    raw_gt: bool = False
+    lambda_l1: float = 100.0
+
+    @property
+    def d(self) -> int:  # number of previous frames fed to the net
+        return self.model_patch_depth - 1
+
+    @property
+    def train_unrollings(self) -> int:
+        return self.patch_depth - self.model_patch_depth + 1
+
+    @property
+    def network_input_nc(self) -> int:
+        return (self.model_patch_depth + self.future_patch_depth) * self.input_nc
+
+    @property
+    def gt_nc(self) -> int:
+        return 4 if (self.raw_gt and not self.no_predemosaic) else self.input_nc
+
+
+class RecurrentState(NamedTuple):
+    """Carried across frames: ring buffer of D previous (denoised) frames and
+    (optionally) D warped feature maps."""
+
+    lastden: jnp.ndarray  # [B, D, H, W, C]
+    feat: Optional[jnp.ndarray]  # [B, D, H, W, F] or None
+
+
+def prepare_frames(cfg: EngineConfig, raw_frames: jnp.ndarray, flows: Optional[jnp.ndarray]):
+    """Model-input preprocessing (reference: recurrent_model.py:105-135).
+
+    raw_frames: [B, T, h, w, 4] packed raw in [-1, 1].
+    flows:      [B, TD, D+fD, h, w, 2] or None.
+    Returns (frames, flows) in the domain the net consumes: demosaicked
+    full-res RGB with x2-scaled flows unless no_predemosaic.
+    """
+    if cfg.no_predemosaic:
+        return raw_frames, flows
+    b, t, h, w, _ = raw_frames.shape
+    rgb = hamilton_adams(raw_frames.reshape(b * t, h, w, 4))
+    rgb = rgb.reshape(b, t, 2 * h, 2 * w, 3)
+    if flows is not None and not cfg.warp_raw:
+        bt, td, dd, fh, fw, _ = flows.shape
+        flows = flow_upsample_2x(flows.reshape(bt * td * dd, fh, fw, 2))
+        flows = flows.reshape(bt, td, dd, 2 * fh, 2 * fw, 2)
+    return rgb, flows
+
+
+def _warp_frame(cfg: EngineConfig, frame: jnp.ndarray, flow: Optional[jnp.ndarray]):
+    """Warp one frame to the current time (reference:
+    recurrent_model.py:137-159)."""
+    if cfg.no_warp or flow is None:
+        return frame
+    if (not cfg.no_predemosaic) and cfg.warp_raw:
+        raw = remosaic(frame)
+        warped, _ = warp(raw, flow, "bicubic")
+        return hamilton_adams(warped)
+    warped, _ = warp(frame, flow, "bicubic")
+    return warped
+
+
+def init_state(cfg: EngineConfig, frames: jnp.ndarray, nil_feat=None) -> RecurrentState:
+    """Initial recurrence: previous noisy frames, zero features
+    (reference: recurrent_model.py:233-245)."""
+    lastden = frames[:, : cfg.d]
+    feat = None
+    if cfg.feature_rec:
+        if nil_feat is None:
+            raise ValueError("feature_rec requires nil_feat [B, H, W, F]")
+        feat = jnp.broadcast_to(
+            nil_feat[:, None], (nil_feat.shape[0], cfg.d, *nil_feat.shape[1:])
+        )
+    return RecurrentState(lastden, feat)
+
+
+def step(
+    cfg: EngineConfig,
+    net,
+    params,
+    state: RecurrentState,
+    cur: jnp.ndarray,  # [B, H, W, C] current noisy frame
+    future: Optional[jnp.ndarray],  # [B, fD, H, W, C] future noisy frames
+    flows: Optional[jnp.ndarray],  # [B, D+fD, H, W, 2] flows to current time
+) -> Tuple[jnp.ndarray, RecurrentState]:
+    """One denoising step (= one unrolling).
+
+    Returns (denoised [B, H, W, C_out], next state).
+    """
+    d = cfg.d
+    inputs = []
+    feat_parts = []
+    for b in range(d):
+        fl = flows[:, b] if flows is not None else None
+        inputs.append(_warp_frame(cfg, state.lastden[:, b], fl))
+        if cfg.feature_rec and not cfg.no_warp:
+            feat_parts.append(warp(state.feat[:, b], fl, "bicubic")[0])
+        elif cfg.feature_rec:
+            feat_parts.append(state.feat[:, b])
+    inputs.append(cur)
+    for b in range(cfg.future_patch_depth):
+        fl = flows[:, d + b] if flows is not None else None
+        inputs.append(_warp_frame(cfg, future[:, b], fl))
+
+    netinput = jnp.concatenate(inputs, axis=-1)
+    feat_in = jnp.concatenate(feat_parts, axis=-1) if cfg.feature_rec else None
+    denoised, new_feat = net.apply({"params": params}, netinput, feat_in)
+
+    # the --prev_noisy_frame ablation stores the current *noisy* frame
+    # instead of the denoised one (reference: recurrent_model.py:335-336)
+    store = cur if cfg.prev_noisy_frame else denoised
+    lastden = jnp.concatenate([state.lastden[:, 1:], store[:, None]], axis=1)
+    feat = None
+    if cfg.feature_rec:
+        feat = jnp.concatenate([state.feat[:, 1:], new_feat[:, None]], axis=1)
+    return denoised, RecurrentState(lastden, feat)
+
+
+def unrolled_forward(
+    cfg: EngineConfig,
+    net,
+    params,
+    frames: jnp.ndarray,  # [B, T, H, W, C] prepared (demosaicked) noisy frames
+    flows: Optional[jnp.ndarray],  # [B, TD, D+fD, H, W, 2] prepared flows
+    unrollings: int,
+    nil_feat=None,
+) -> jnp.ndarray:
+    """Training forward: run ``unrollings`` steps, return all outputs
+    [B, TD_active, H, W, C_out] (reference: recurrent_model.py:161-349)."""
+    d = cfg.d
+    state = init_state(cfg, frames, nil_feat)
+    outs = []
+    for a in range(unrollings):
+        cur = frames[:, a + d]
+        future = (
+            frames[:, a + d + 1 : a + d + 1 + cfg.future_patch_depth]
+            if cfg.future_patch_depth
+            else None
+        )
+        fl = flows[:, a] if flows is not None else None
+        den, state = step(cfg, net, params, state, cur, future, fl)
+        outs.append(den)
+    return jnp.stack(outs, axis=1)
+
+
+def inference_step(
+    cfg: EngineConfig,
+    net,
+    params,
+    state: Optional[RecurrentState],
+    frames: jnp.ndarray,  # [B, D+1+fD, H, W, C] window ending at current frame
+    flows: Optional[jnp.ndarray],  # [B, D+fD, H, W, 2]
+    nil_feat=None,
+) -> Tuple[jnp.ndarray, RecurrentState]:
+    """Single-frame inference with carried state.
+
+    Pass ``state=None`` on the first frame of a video (recurrence resets to
+    the noisy previous frames; reference: recurrent_model.py:233-245 and the
+    FirstOfVideo flag at validate.py:76-77).
+    """
+    d = cfg.d
+    if state is None:
+        state = init_state(cfg, frames, nil_feat)
+    cur = frames[:, d]
+    future = frames[:, d + 1 :] if cfg.future_patch_depth else None
+    return step(cfg, net, params, state, cur, future, flows)
+
+
+def scan_video(
+    cfg: EngineConfig,
+    net,
+    params,
+    frames: jnp.ndarray,  # [T, B, H, W, C] prepared frames of one clip
+    flows: Optional[jnp.ndarray],  # [T, B, D+fD, H, W, 2] flows to each frame
+    nil_feat=None,
+) -> jnp.ndarray:
+    """Stream a whole clip under one jit with O(1) state (lax.scan over
+    time).  Frame t uses the window [t-D, t+fD] clamped at the clip edges;
+    the first D frames reuse the reference's missing-flow = zero-flow rule
+    (reference: data/infer4rec_dataset.py:198-200).
+    """
+    t_total = frames.shape[0]
+    d, fd = cfg.d, cfg.future_patch_depth
+
+    # pad so every frame has a full window: replicate first/last frames,
+    # zero flows at the edges (= reference behaviour for missing flows)
+    pad_front = jnp.repeat(frames[:1], d, axis=0)
+    pad_back = jnp.repeat(frames[-1:], fd, axis=0) if fd else frames[:0]
+    padded = jnp.concatenate([pad_front, frames, pad_back], axis=0)
+    windows = jnp.stack(
+        [padded[i : i + t_total] for i in range(d + 1 + fd)], axis=1
+    )  # [T, D+1+fD, B, H, W, C]
+
+    state0 = init_state(cfg, jnp.swapaxes(windows[0], 0, 1), nil_feat)
+
+    def body(state, inp):
+        win, fl = inp
+        win = jnp.swapaxes(win, 0, 1)  # [B, D+1+fD, ...]
+        den, state = inference_step(cfg, net, params, state, win, fl, nil_feat)
+        return state, den
+
+    flows_seq = flows if flows is not None else [None] * 0
+    if flows is None:
+        _, dens = jax.lax.scan(lambda s, w: body(s, (w, None)), state0, windows)
+    else:
+        _, dens = jax.lax.scan(body, state0, (windows, flows))
+    return dens  # [T, B, H, W, C_out]
+
+
+def compute_losses(
+    cfg: EngineConfig,
+    outputs: jnp.ndarray,  # [B, A, H, W, C_out] unrolling outputs
+    gt: jnp.ndarray,  # [B, T, H', W', C_gt]
+    weights: jnp.ndarray,  # [A] unrolling loss weights
+):
+    """Weighted L1 + PSNR over unrolling outputs (reference:
+    recurrent_model.py:473-510)."""
+    d = cfg.d
+    a_total = outputs.shape[1]
+    l1s = []
+    psnrs = []
+    for a in range(a_total):
+        den = outputs[:, a]
+        target = gt[:, a + d]
+        if cfg.raw_gt and not cfg.no_predemosaic:
+            den = remosaic(den)
+        l1s.append(jnp.mean(jnp.abs(den - target)) * cfg.lambda_l1)
+        psnrs.append(psnr(den, target, 2.0))
+    loss_l1 = jnp.sum(weights * jnp.stack(l1s))
+    loss_psnr = jnp.sum(weights * jnp.stack(psnrs))
+    return {"L1": loss_l1, "PSNR": loss_psnr, "Denoiser": loss_l1}

@@ -1,0 +1,314 @@
+"""Epoch loop and validation loop (the train.py / validate.py internals).
+
+Mirrors the reference loops (reference: train.py:67-130, validate.py:54-114)
+with TPU-native mechanics: one jitted, donated train step; batches sharded
+over the mesh 'data' axis; validation streams frames serially carrying the
+recurrence state with a FirstOfVideo reset.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from os.path import basename, dirname, join
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rvdd_tpu.config import Options
+from rvdd_tpu.data.datasets import InferenceDataset, TrainWindowDataset
+from rvdd_tpu.data.flow_cache import FlowCache
+from rvdd_tpu.data.io import imwrite
+from rvdd_tpu.models import build_network
+from rvdd_tpu.ops.bayer import remosaic
+from rvdd_tpu.ops.tvl1 import to_gray, tvl1_flow
+from rvdd_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from rvdd_tpu.recurrent.engine import (
+    EngineConfig,
+    compute_losses,
+    inference_step,
+    prepare_frames,
+)
+from rvdd_tpu.recurrent.schedules import active_unrollings, unroll_weights
+from rvdd_tpu.training.checkpoints import (
+    load_checkpoint,
+    load_status,
+    save_checkpoint,
+    save_status,
+)
+from rvdd_tpu.training.train_state import (
+    TrainState,
+    create_train_state,
+    lr_for_epoch,
+    make_train_step,
+    set_learning_rate,
+)
+
+
+class Logger:
+    """loss_log.txt writer (reference: util/visualizer.py:36-102)."""
+
+    def __init__(self, save_dir: str):
+        os.makedirs(save_dir, exist_ok=True)
+        self.path = join(save_dir, "loss_log.txt")
+        with open(self.path, "a") as f:
+            f.write(f"================ Training Loss ({time.strftime('%c')}) ================\n")
+
+    def line(self, msg: str) -> None:
+        print(msg)
+        with open(self.path, "a") as f:
+            f.write(msg + "\n")
+
+
+def _flow_shape_for(cfg: EngineConfig, item_flow: np.ndarray) -> np.ndarray:
+    """[D+fD, H, W, 2] -> add unrolling axis -> [1, D+fD, H, W, 2]."""
+    return item_flow[None]
+
+
+def build_validation(opt: Options) -> InferenceDataset:
+    cache = None
+    if not opt.no_warp:
+        cache = FlowCache(
+            opt.val_dataroot, opt.nFolder, opt.flowFolder, opt.warp_method,
+            persist=opt.persist_flows,
+        )
+    return InferenceDataset(
+        opt.val_dataroot,
+        opt.gt_folder_for_mode(),
+        opt.nFolder,
+        patch_depth=opt.model_patch_depth,
+        future_patch_depth=opt.future_patch_depth,
+        bit_depth=opt.bit_depth,
+        raw_gt=opt.raw_gt,
+        no_predemosaic=opt.no_predemosaic,
+        videos=opt.val_videos,
+        flow_cache=cache,
+        no_warp=opt.no_warp,
+        crop_data=opt.crop_data,
+    )
+
+
+def compute_validation(
+    opt: Options,
+    net,
+    params,
+    val_dataset: InferenceDataset,
+    val_image_dir: Optional[str] = None,
+    save_visuals: bool = True,
+    flow_from_denoised: bool = False,
+) -> Dict[str, float]:
+    """Serial full-frame validation with carried recurrence (reference:
+    validate.py:54-114).  Returns averaged losses ('<name>_valLoss')."""
+    cfg = opt.engine_config()
+
+    @jax.jit
+    def val_step(params, state_or_none, frames, flows, gt_last):
+        frames2, flows2 = prepare_frames(cfg, frames, flows)
+        fl = flows2[:, 0] if flows2 is not None else None
+        nil = (
+            net.nil_features(frames2.shape[0], frames2.shape[2], frames2.shape[3])
+            if cfg.feature_rec
+            else None
+        )
+        den, state = inference_step(cfg, net, params, state_or_none, frames2, fl, nil)
+        out = den
+        if cfg.raw_gt and not cfg.no_predemosaic:
+            out = remosaic(den)
+        l1 = jnp.mean(jnp.abs(out - gt_last)) * cfg.lambda_l1
+        from rvdd_tpu.ops.metrics import psnr
+
+        return den, state, {"L1": l1, "PSNR": psnr(out, gt_last, 2.0), "Denoiser": l1}
+
+    @jax.jit
+    def flow_from_prev(prev_den, cur_noisy_raw):
+        """--val_flow_from_denoised: TV-L1 between the remosaicked previous
+        output and the current noisy raw (reference: validate.py:16-38)."""
+        prev = prev_den
+        if not cfg.no_predemosaic:
+            prev = remosaic(prev_den)
+        prev01 = (prev + 1.0) / 2.0
+        cur01 = (cur_noisy_raw + 1.0) / 2.0
+        return tvl1_flow(to_gray(cur01[0]), to_gray(prev01[0]))[None]
+
+    totals: Dict[str, float] = {}
+    count = 0
+    state = None
+    prev_den = None
+    for item in val_dataset:
+        first = item["FirstOfVideo"]
+        if first:
+            state = None
+        frames = jnp.asarray(item["n"])[None]
+        flows = None
+        if "flow" in item:
+            flows = jnp.asarray(item["flow"])[None][:, None]  # [B,1,D+fD,H,W,2]
+        if flow_from_denoised and not first and prev_den is not None and flows is not None:
+            fl = flow_from_prev(prev_den, frames[:, -1])
+            flows = jnp.broadcast_to(
+                fl[:, None, None], flows.shape
+            ) if False else fl[:, None, None].repeat(flows.shape[2], axis=2)
+        gt_last = jnp.asarray(item["gt"][-1])[None]
+        den, state, losses = val_step(params, state, frames, flows, gt_last)
+        prev_den = den
+        for k, v in losses.items():
+            totals[k] = totals.get(k, 0.0) + float(v)
+        count += 1
+
+        if save_visuals and val_image_dir is not None:
+            seq = item["seq"]
+            name = os.path.splitext(basename(item["n_path"]))[0]
+            img = (np.asarray(den[0]) + 1.0) / 2.0 * 255.0
+            imwrite(join(val_image_dir, seq, f"{name}_denoised.tif"), img.astype(np.float32))
+
+    return {f"{k}_valLoss": v / max(count, 1) for k, v in totals.items()}
+
+
+def train(opt: Options) -> None:
+    """Full training entry (reference: train.py)."""
+    from rvdd_tpu.models.factory import init_network
+
+    if opt.exact_precision:
+        from rvdd_tpu.precision import use_exact_precision
+
+        use_exact_precision()
+
+    cfg = opt.engine_config()
+    save_dir = opt.save_dir
+    log = Logger(save_dir)
+    opt.save(join(save_dir, "opt_train.json"))
+    log.line(opt.dump())
+
+    cache = None
+    if not opt.no_warp:
+        cache = FlowCache(
+            opt.dataroot, opt.nFolder, opt.flowFolder, opt.warp_method,
+            persist=opt.persist_flows,
+        )
+    train_ds = TrainWindowDataset(
+        opt.dataroot,
+        opt.gt_folder_for_mode(),
+        opt.nFolder,
+        patch_width=opt.patch_width,
+        patch_stride=opt.patch_stride,
+        patch_depth=opt.patch_depth,
+        model_patch_depth=opt.model_patch_depth,
+        future_patch_depth=opt.future_patch_depth,
+        frames2load=opt.frames2load,
+        bit_depth=opt.bit_depth,
+        raw_gt=opt.raw_gt,
+        no_predemosaic=opt.no_predemosaic,
+        videos=opt.videos,
+        flow_cache=cache,
+        no_warp=opt.no_warp,
+        seed=opt.seed,
+    )
+    log.line(f"The number of training images = {len(train_ds)}")
+    val_ds = None if opt.no_val else build_validation(opt)
+    if val_ds is not None:
+        log.line(f"Number of validation images = {len(val_ds)}")
+
+    net = build_network(opt.netDenoiser, cfg.network_input_nc, opt.output_nc, cfg.feature_rec)
+    pw = opt.patch_width * (1 if opt.no_predemosaic else 2)
+    params = init_network(
+        net, jax.random.PRNGKey(opt.seed), (1, pw, pw, cfg.network_input_nc), opt.init_type
+    )
+    if opt.path2epoch:
+        params, _ = load_checkpoint(
+            opt.path2epoch, None, params, net=net,
+            example_shape=(1, pw, pw, cfg.network_input_nc),
+        )
+        log.line(f"loaded weights from {opt.path2epoch}")
+
+    state, tx = create_train_state(params, opt.optimizer, opt.beta1, opt.weight_decay)
+
+    mesh = make_mesh(opt.mesh_shape)
+    state = TrainState(
+        replicate(mesh, state.params), replicate(mesh, state.opt_state), state.step
+    )
+    train_step = make_train_step(cfg, net, tx)
+
+    # autoresume (reference: train.py:15-28); unlike the reference we also
+    # restore optimizer state
+    epoch_start = 1
+    status = load_status(save_dir)
+    if opt.autoresume and status:
+        e = str(status["epoch"])
+        p, o = load_checkpoint(save_dir, e, state.params, state.opt_state)
+        state = TrainState(replicate(mesh, p), replicate(mesh, o or state.opt_state), state.step)
+        epoch_start = status["epoch"] + 1
+        log.line(f"autoresumed from epoch {status['epoch']}")
+    else:
+        save_checkpoint(save_dir, "0", state.params)
+
+    best_val = float(status.get("best_val", "inf")) if status else float("inf")
+    td = opt.patch_depth - 1
+    total_iters = 0
+    val_image_dir = join(save_dir, "val_visuals")
+
+    for epoch in range(epoch_start, opt.niter + opt.niter_decay + 1):
+        lr = lr_for_epoch(epoch, opt.lr, opt.lr_policy, opt.niter, opt.niter_decay, opt.lr_decay_iters)
+        state = set_learning_rate(state, lr)
+        epoch_t0 = time.time()
+        epoch_len = max(len(train_ds) // opt.batch_size, 1)
+        data_t0 = time.time()
+        for it, batch in enumerate(train_ds.batches(opt.batch_size)):
+            t_data = time.time() - data_t0
+            unrollings = active_unrollings(opt.unroll_focus, td, epoch)
+            w = unroll_weights(opt.unroll_focus, td, epoch, it, epoch_len)
+            frames, flows = prepare_host_batch(cfg, batch)
+            sharded = shard_batch(mesh, {"frames": frames, **({"flows": flows} if flows is not None else {}), "gt": batch["gt"]})
+            nil = (
+                net.nil_features(frames.shape[0], sharded["frames"].shape[2], sharded["frames"].shape[3])
+                if cfg.feature_rec
+                else None
+            )
+            t0 = time.time()
+            state, losses = train_step(
+                state,
+                sharded["frames"],
+                sharded.get("flows"),
+                sharded["gt"],
+                jnp.asarray(w),
+                nil,
+            )
+            total_iters += opt.batch_size
+            if total_iters % opt.print_freq < opt.batch_size:
+                jax.block_until_ready(losses)
+                t_comp = (time.time() - t0) / opt.batch_size
+                msg = f"(epoch: {epoch}, iters: {total_iters}, time: {t_comp:.3f}, data: {t_data:.3f}) "
+                msg += " ".join(f"{k}: {float(v):.3f}" for k, v in losses.items())
+                log.line(msg)
+            data_t0 = time.time()
+
+        if epoch % opt.save_epoch_freq == 0:
+            save_checkpoint(save_dir, "latest", state.params, state.opt_state)
+            save_checkpoint(save_dir, str(epoch), state.params, state.opt_state)
+            save_status(save_dir, {"epoch": epoch, "best_val": best_val})
+
+        if val_ds is not None and epoch % opt.val_epoch_freq == 0:
+            v0 = time.time()
+            val_losses = compute_validation(opt, net, state.params, val_ds, val_image_dir)
+            val_losses["lr"] = lr
+            msg = f"---> validation: (epoch: {epoch}, time: {time.time()-v0:.1f}, #data: {len(val_ds)}) ["
+            msg += ", ".join(f"{k}: {v:.3f}" for k, v in val_losses.items()) + "]"
+            log.line(msg)
+            if val_losses["Denoiser_valLoss"] < best_val:
+                best_val = val_losses["Denoiser_valLoss"]
+                save_checkpoint(save_dir, "latest_val", state.params, state.opt_state)
+                save_status(save_dir, {"epoch": epoch, "best_val": best_val})
+
+        train_ds.prepare_epoch()
+        log.line(
+            f"End of epoch {epoch} / {opt.niter + opt.niter_decay} \t"
+            f" Time Taken: {int(time.time() - epoch_t0)} sec (lr {lr:.7f})"
+        )
+
+
+def prepare_host_batch(cfg: EngineConfig, batch: Dict[str, np.ndarray]):
+    """Host-side packaging; the heavy prepare (demosaic, flow upsample) runs
+    on device inside the train step via prepare_frames."""
+    frames = jnp.asarray(batch["n"])
+    flows = jnp.asarray(batch["flow"]) if "flow" in batch else None
+    return frames, flows

@@ -15,8 +15,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import pathlib
 
+import jax
 import numpy as np
 import pytest
+
+# Checkpoint-parity tests need exact fp32 convolutions; the platform default
+# is reduced-precision (bf16-class) accumulation.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 GOLDEN_DIR = pathlib.Path(__file__).parent / "golden"
 
