@@ -13,7 +13,7 @@ Like :mod:`rvdd_tpu.models.unet`, feature recurrence is an explicit
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax.numpy as jnp
 import flax.linen as nn
@@ -66,24 +66,30 @@ class ConvNeXtBlock(nn.Module):
     features: int
     kernel_size: int = 7
     layerscale_init: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         if self.in_features != self.features:
-            x = nn.Conv(self.features, (1, 1), name="proj")(x)
+            x = nn.Conv(self.features, (1, 1), dtype=self.dtype, name="proj")(x)
         k = self.kernel_size
         h = nn.Conv(
             self.features,
             (k, k),
             padding=k // 2,
             feature_group_count=self.features,
+            dtype=self.dtype,
             name="dw",
         )(x)
         h = ChannelLayerNorm(self.features, name="ln")(h)
-        h = nn.Conv(4 * self.features, (1, 1), name="pw1")(h)
+        if self.dtype is not None:
+            h = h.astype(self.dtype)
+        h = nn.Conv(4 * self.features, (1, 1), dtype=self.dtype, name="pw1")(h)
         h = nn.gelu(h, approximate=False)
-        h = nn.Conv(self.features, (1, 1), name="pw2")(h)
+        h = nn.Conv(self.features, (1, 1), dtype=self.dtype, name="pw2")(h)
         h = LayerScale(self.features, self.layerscale_init, name="layerscale")(h)
+        if self.dtype is not None:
+            h = h.astype(self.dtype)
         return x + h
 
 
@@ -93,6 +99,7 @@ class NConvNeXtBlock(nn.Module):
     n_blocks: int = 2
     kernel_size: int = 7
     layerscale_init: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -102,6 +109,7 @@ class NConvNeXtBlock(nn.Module):
                 self.features,
                 self.kernel_size,
                 self.layerscale_init,
+                self.dtype,
                 name=f"block{j}",
             )(x)
         return x
@@ -124,6 +132,8 @@ class ConvNeXtUNet(nn.Module):
     fusion_mode: str = "cat"
     layerscale_init: float = 0.1
     feature_rec: bool = False
+    #: computation dtype; None = fp32, jnp.bfloat16 = MXU-native inference
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, feat: Optional[jnp.ndarray] = None):
@@ -131,7 +141,7 @@ class ConvNeXtUNet(nn.Module):
 
         def nconv(in_f, n, name):
             return NConvNeXtBlock(
-                in_f, f, n, self.kernel_size, self.layerscale_init, name=name
+                in_f, f, n, self.kernel_size, self.layerscale_init, self.dtype, name=name
             )
 
         if self.feature_rec:
@@ -151,7 +161,8 @@ class ConvNeXtUNet(nn.Module):
             if i < self.depth - 1:
                 h = self._downsample(h)
                 h = ConvNeXtBlock(
-                    f, f, self.kernel_size, self.layerscale_init, name=f"enc_down{i}"
+                    f, f, self.kernel_size, self.layerscale_init, self.dtype,
+                    name=f"enc_down{i}",
                 )(h)
 
         h = nconv(f, self.n_blocks_bottleneck, "bottleneck")(h)
@@ -159,7 +170,8 @@ class ConvNeXtUNet(nn.Module):
         for i in range(self.depth - 1):
             h = self._upsample(h)
             h = ConvNeXtBlock(
-                f, f, self.kernel_size, self.layerscale_init, name=f"dec_up{i}"
+                f, f, self.kernel_size, self.layerscale_init, self.dtype,
+                name=f"dec_up{i}",
             )(h)
             skip = skips[-(i + 2)]
             h = zero_pad_to(h, skip.shape[-3], skip.shape[-2])
@@ -174,7 +186,10 @@ class ConvNeXtUNet(nn.Module):
 
         h = nconv(f, self.n_blocks_postprocessing, "post")(h)
         new_feat = h if self.feature_rec else None
-        h = nn.Conv(self.out_channels, (1, 1), name="post_final")(h)
+        h = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="post_final")(h)
+        h = h.astype(jnp.float32)
+        if new_feat is not None:
+            new_feat = new_feat.astype(jnp.float32)
         return h, new_feat
 
     def _downsample(self, h):

@@ -53,7 +53,11 @@ def parse_arch(arch: str) -> Tuple[str, Dict[str, Any]]:
 
 
 def build_network(
-    arch: str, input_nc: int, output_nc: int, feature_rec: bool = False
+    arch: str,
+    input_nc: int,
+    output_nc: int,
+    feature_rec: bool = False,
+    dtype=None,
 ) -> nn.Module:
     """Instantiate the denoiser network for an architecture string.
 
@@ -67,7 +71,8 @@ def build_network(
     if "newunet" in name:
         feat = mode == "feat" or feature_rec
         return ConvNeXtUNet(
-            in_channels=input_nc, out_channels=output_nc, feature_rec=feat, **kwargs
+            in_channels=input_nc, out_channels=output_nc, feature_rec=feat,
+            dtype=dtype, **kwargs
         )
 
     if "convunet" in name:
@@ -90,6 +95,7 @@ def build_network(
             out_channels=output_nc,
             fixed_features=fixed,
             feature_rec=feat,
+            dtype=dtype,
             **kwargs,
         )
 

@@ -15,7 +15,7 @@ on PostConvs[-2]; reference: networks/unet.py:808-825).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax.numpy as jnp
 import flax.linen as nn
@@ -53,12 +53,16 @@ class NConvBlock(nn.Module):
     n_blocks: int = 2
     activation: str = "relu"
     use_bias: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         act = _activation(self.activation)
         for j in range(self.n_blocks):
-            x = nn.Conv(self.features, (3, 3), padding=1, use_bias=self.use_bias, name=f"conv{j}")(x)
+            x = nn.Conv(
+                self.features, (3, 3), padding=1, use_bias=self.use_bias,
+                dtype=self.dtype, name=f"conv{j}",
+            )(x)
             x = act(x)
         return x
 
@@ -88,6 +92,8 @@ class ConvUNet(nn.Module):
     residual: bool = False
     fixed_features: bool = True
     feature_rec: bool = False
+    #: computation dtype; None = fp32, jnp.bfloat16 = MXU-native inference
+    dtype: Any = None
 
     def _enc_features(self, i: int) -> int:
         return self.filters if self.fixed_features else self.filters * 2**i
@@ -99,7 +105,7 @@ class ConvUNet(nn.Module):
         if self.feature_rec:
             if feat is None:
                 raise ValueError("feature-recurrent net needs a feat input")
-            y = nn.Conv(self.filters, (3, 3), padding=1, use_bias=self.use_bias, name="pre")(x)
+            y = nn.Conv(self.filters, (3, 3), padding=1, use_bias=self.use_bias, dtype=self.dtype, name="pre")(x)
             x_in = jnp.concatenate([y, feat], axis=-1)
         else:
             x_in = x
@@ -113,6 +119,7 @@ class ConvUNet(nn.Module):
                 self.n_blocks_encoder,
                 self.activation,
                 self.use_bias,
+                self.dtype,
                 name=f"enc_conv{i}",
             )(h)
             skips.append(h)
@@ -125,7 +132,7 @@ class ConvUNet(nn.Module):
         s = d
         bneck_feat = self._enc_features(self.depth - 1)
         for i in range(self.bottleneck_depth):
-            d = nn.Conv(bneck_feat, (3, 3), padding=1, use_bias=self.use_bias, name=f"bottleneck{i}")(d)
+            d = nn.Conv(bneck_feat, (3, 3), padding=1, use_bias=self.use_bias, dtype=self.dtype, name=f"bottleneck{i}")(d)
             d = act(d)
             s = s + d
         d = s
@@ -135,22 +142,28 @@ class ConvUNet(nn.Module):
             lvl = self.depth - 2 - i  # encoder level being fused
             feats = self._enc_features(lvl)
             d = self._upsample(d)
-            d = nn.Conv(feats, (3, 3), padding=1, use_bias=self.use_bias, name=f"dec_up{i}")(d)
+            d = nn.Conv(feats, (3, 3), padding=1, use_bias=self.use_bias, dtype=self.dtype, name=f"dec_up{i}")(d)
             d = act(d)
             skip = skips[lvl]
             d = zero_pad_to(d, skip.shape[-3], skip.shape[-2])
             d = jnp.concatenate([skip, d], axis=-1)
             d = NConvBlock(
-                feats, self.n_blocks_decoder, self.activation, self.use_bias, name=f"dec_conv{i}"
+                feats, self.n_blocks_decoder, self.activation, self.use_bias,
+                self.dtype, name=f"dec_conv{i}",
             )(d)
 
         # post-processing; the activation before the final 1x1 conv is the
         # recurrent feature state.
         for i in range(self.post_depth - 1):
-            d = nn.Conv(self.filters, (3, 3), padding=1, use_bias=self.use_bias, name=f"post{i}")(d)
+            d = nn.Conv(self.filters, (3, 3), padding=1, use_bias=self.use_bias, dtype=self.dtype, name=f"post{i}")(d)
             d = act(d)
         new_feat = d if self.feature_rec else None
-        d = nn.Conv(self.out_channels, (1, 1), use_bias=self.use_bias, name="post_final")(d)
+        d = nn.Conv(
+            self.out_channels, (1, 1), use_bias=self.use_bias, dtype=self.dtype, name="post_final"
+        )(d)
+        d = d.astype(jnp.float32)
+        if new_feat is not None:
+            new_feat = new_feat.astype(jnp.float32)
 
         if self.residual:
             # global residual assumes the first 4 input channels are raw
@@ -162,13 +175,17 @@ class ConvUNet(nn.Module):
         mode = self.downsampling_mode
         feats = self._enc_features(i)
         if mode in ("convmax", "convavg"):
-            h = nn.Conv(feats, (3, 3), padding=1, use_bias=self.use_bias, name=f"enc_down{i}")(h)
+            h = nn.Conv(
+                feats, (3, 3), padding=1, use_bias=self.use_bias,
+                dtype=self.dtype, name=f"enc_down{i}",
+            )(h)
             return maxpool2x2(h) if mode == "convmax" else avgpool2x2(h)
         if mode == "maxpool":
             return maxpool2x2(h)
         if mode == "stridedconv":
             return nn.Conv(
-                feats, (2, 2), strides=(2, 2), use_bias=self.use_bias, name=f"enc_down{i}"
+                feats, (2, 2), strides=(2, 2), use_bias=self.use_bias,
+                dtype=self.dtype, name=f"enc_down{i}",
             )(h)
         raise NotImplementedError(f"downsampling_mode {mode}")
 

@@ -106,6 +106,24 @@ def find_gains(seq: int, iso: int) -> Gains:
     )
 
 
+def load_wb_table(split: str = "train", iso: int = 3200) -> np.ndarray:
+    """Vendored per-sequence calibration gains [(n, red, blue)] parsed from
+    the reference coefficient files (reference:
+    dataset/white_balance_coeffs_{train,val}_iso*.txt)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "resources", "white_balance.json")
+    with open(path) as f:
+        tables = json.load(f)
+    return np.asarray(tables[f"{split}_{iso}"], np.float32)
+
+
+def gains_from_table(table: np.ndarray, seq: int) -> Gains:
+    n, red, blue = (float(v) for v in table[seq])
+    return Gains(jnp.float32(1.0 / n), jnp.float32(red), jnp.float32(blue))
+
+
 def parse_wb_table(path: str) -> np.ndarray:
     """Parse a 'white_balance_coeffs_*.txt' table -> [N, 3] of (n, red, blue).
 

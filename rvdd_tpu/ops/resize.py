@@ -35,6 +35,22 @@ def _axis_indices(in_size: int, out_size: int, align_corners: bool):
     return i0, i1, t
 
 
+def _up2x_nac_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """x2 bilinear upsample along one axis, align_corners=False.
+
+    The source positions (i+0.5)/2-0.5 form a fixed 2-phase pattern:
+    out[2k] = 0.25 x[k-1] + 0.75 x[k], out[2k+1] = 0.75 x[k] + 0.25 x[k+1]
+    (edges clamped) — pure shifts, no gather, fuses into neighbours.
+    """
+    x = jnp.moveaxis(x, axis, 0)
+    prev = jnp.concatenate([x[:1], x[:-1]], axis=0)
+    nxt = jnp.concatenate([x[1:], x[-1:]], axis=0)
+    even = 0.25 * prev + 0.75 * x
+    odd = 0.75 * x + 0.25 * nxt
+    out = jnp.stack([even, odd], axis=1).reshape((2 * x.shape[0],) + x.shape[1:])
+    return jnp.moveaxis(out, 0, axis)
+
+
 def resize_bilinear(
     x: jnp.ndarray, out_h: int, out_w: int, align_corners: bool = False
 ) -> jnp.ndarray:
@@ -42,10 +58,20 @@ def resize_bilinear(
     h, w = x.shape[-3], x.shape[-2]
     if (h, w) == (out_h, out_w):
         return x
-    i0, i1, ty = _axis_indices(h, out_h, align_corners)
-    rows = x[..., i0, :, :] * (1.0 - ty)[:, None, None] + x[..., i1, :, :] * ty[:, None, None]
-    j0, j1, tx = _axis_indices(w, out_w, align_corners)
-    return rows[..., j0, :] * (1.0 - tx)[:, None] + rows[..., j1, :] * tx[:, None]
+    if not align_corners and out_h == 2 * h and out_w == 2 * w:
+        # hot path (convunet decoder): gather-free 2-phase stencil
+        return _up2x_nac_axis(_up2x_nac_axis(x, -3), -2)
+    def lerp_rows(a, in_size, out_size):
+        # interpolate along axis -3: contiguous whole-row gathers (the
+        # same gather along axis -2 would fetch millions of C-wide rows)
+        i0, i1, t = _axis_indices(in_size, out_size, align_corners)
+        t = t[:, None, None]
+        return a[..., i0, :, :] * (1.0 - t) + a[..., i1, :, :] * t
+
+    x = lerp_rows(x, h, out_h)
+    x = jnp.swapaxes(x, -3, -2)
+    x = lerp_rows(x, w, out_w)
+    return jnp.swapaxes(x, -3, -2)
 
 
 def upsample2x_bilinear(x: jnp.ndarray, align_corners: bool = False) -> jnp.ndarray:

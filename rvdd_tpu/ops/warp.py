@@ -55,6 +55,73 @@ def _gather2d(xf: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray, w: int):
     return out.reshape(b, iy.shape[1], iy.shape[2], c)
 
 
+def _remap_weights(i0, w4, size):
+    """Fold torch's per-tap clamping into weights on a contiguous window.
+
+    The 4 taps clip(i0-1+j, 0, size-1) always lie inside the 4-wide window
+    starting at s = clip(i0-1, 0, size-4); re-express the tap weights as
+    weights over window offsets 0..3 (duplicated edge taps sum up).
+    Returns (s, w_rel[4]).
+    """
+    s = jnp.clip(i0 - 1, 0, size - 4)
+    w_rel = []
+    offs = [jnp.clip(i0 - 1 + j, 0, size - 1) - s for j in range(4)]
+    for k in range(4):
+        acc = 0.0
+        for j in range(4):
+            acc = acc + w4[j] * (offs[j] == k)
+        w_rel.append(acc)
+    return s, jnp.stack(w_rel, axis=-1)
+
+
+def _bicubic_block_gather(x: jnp.ndarray, sy, sx, wy_rel, wx_rel, rows_per_chunk: int):
+    """Weighted 4x4-neighborhood sampling via contiguous block gathers.
+
+    x: [H, W, C]; sy/sx: [H', W'] int32 window starts; w*_rel: [H', W', 4].
+    Gathering each pixel's 4x4xC block as ONE gather (slice_sizes) is the
+    TPU-friendly form — per-element flat gathers are ~50x slower.  Chunked
+    over output rows to bound the [n, 4, 4, C] intermediate.
+    """
+    hh, ww = sy.shape
+    c = x.shape[-1]
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3),
+        collapsed_slice_dims=(),
+        start_index_map=(0, 1),
+    )
+
+    starts = jnp.stack([sy, sx], axis=-1).reshape(hh * ww, 2)
+    wy_f = wy_rel.reshape(hh * ww, 4)
+    wx_f = wx_rel.reshape(hh * ww, 4)
+
+    n = hh * ww
+    chunk = max(rows_per_chunk * ww, 1)
+    pad = (-n) % chunk
+    if pad:
+        starts = jnp.pad(starts, ((0, pad), (0, 0)))
+        wy_f = jnp.pad(wy_f, ((0, pad), (0, 0)))
+        wx_f = jnp.pad(wx_f, ((0, pad), (0, 0)))
+
+    def one_chunk(args):
+        st, wyc, wxc = args
+        blocks = jax.lax.gather(
+            x, st, dnums, slice_sizes=(4, 4, c), mode="clip"
+        )  # [chunk, 4, 4, C]
+        rows = jnp.einsum("nijc,ni->njc", blocks, wyc)
+        return jnp.einsum("njc,nj->nc", rows, wxc)
+
+    nchunks = (n + pad) // chunk
+    out = jax.lax.map(
+        one_chunk,
+        (
+            starts.reshape(nchunks, chunk, 2),
+            wy_f.reshape(nchunks, chunk, 4),
+            wx_f.reshape(nchunks, chunk, 4),
+        ),
+    )
+    return out.reshape((n + pad), c)[:n].reshape(hh, ww, c)
+
+
 @partial(jax.jit, static_argnames=("interp",))
 def warp(x: jnp.ndarray, flow: jnp.ndarray, interp: str = "bicubic"):
     """Warp ``x`` [B, H, W, C] by ``flow`` [B, H, W, 2].
@@ -76,21 +143,20 @@ def warp(x: jnp.ndarray, flow: jnp.ndarray, interp: str = "bicubic"):
     if interp == "bicubic":
         ix = jnp.floor(gx)
         iy = jnp.floor(gy)
-        tx = gx - ix
-        ty = gy - iy
-        wx = cubic_kernel(tx)
-        wy = cubic_kernel(ty)
+        wx = jnp.stack(cubic_kernel(gx - ix), axis=-1)
+        wy = jnp.stack(cubic_kernel(gy - iy), axis=-1)
         ix = ix.astype(jnp.int32)
         iy = iy.astype(jnp.int32)
-        out = jnp.zeros_like(x)
-        for j in range(4):
-            cy = jnp.clip(iy + (j - 1), 0, h - 1)
-            row = jnp.zeros_like(x)
-            for i in range(4):
-                cx = jnp.clip(ix + (i - 1), 0, wd - 1)
-                row = row + wx[i][..., None] * _gather2d(xf, cy, cx, wd)
-            out = out + wy[j][..., None] * row
-        return out, mask
+        sy, wy_rel = _remap_weights(iy, [wy[..., j] for j in range(4)], h)
+        sx, wx_rel = _remap_weights(ix, [wx[..., i] for i in range(4)], wd)
+        # ~16 output rows per gather chunk keeps the [n,4,4,C] intermediate
+        # under ~100 MB at 1080p/48ch
+        rows = max(1, (2 << 20) // max(wd * c, 1))
+        outs = [
+            _bicubic_block_gather(x[i], sy[i], sx[i], wy_rel[i], wx_rel[i], rows)
+            for i in range(b)
+        ]
+        return jnp.stack(outs), mask
 
     if interp == "bilinear":
         cgx = jnp.clip(gx, 0.0, wd - 1.0)

@@ -51,6 +51,9 @@ class EngineConfig:
     feature_rec: bool = False
     raw_gt: bool = False
     lambda_l1: float = 100.0
+    #: 'xla' (differentiable, any backend) or 'pallas' (TPU inference
+    #: kernel, ~x3-50 faster at full-frame sizes)
+    warp_impl: str = "xla"
 
     @property
     def d(self) -> int:  # number of previous frames fed to the net
@@ -97,6 +100,14 @@ def prepare_frames(cfg: EngineConfig, raw_frames: jnp.ndarray, flows: Optional[j
     return rgb, flows
 
 
+def _warp(cfg: EngineConfig, x: jnp.ndarray, flow: jnp.ndarray):
+    if cfg.warp_impl == "pallas":
+        from rvdd_tpu.ops.pallas.warp_pallas import warp_bicubic_pallas
+
+        return warp_bicubic_pallas(x, flow)[0]
+    return warp(x, flow, "bicubic")[0]
+
+
 def _warp_frame(cfg: EngineConfig, frame: jnp.ndarray, flow: Optional[jnp.ndarray]):
     """Warp one frame to the current time (reference:
     recurrent_model.py:137-159)."""
@@ -104,10 +115,8 @@ def _warp_frame(cfg: EngineConfig, frame: jnp.ndarray, flow: Optional[jnp.ndarra
         return frame
     if (not cfg.no_predemosaic) and cfg.warp_raw:
         raw = remosaic(frame)
-        warped, _ = warp(raw, flow, "bicubic")
-        return hamilton_adams(warped)
-    warped, _ = warp(frame, flow, "bicubic")
-    return warped
+        return hamilton_adams(_warp(cfg, raw, flow))
+    return _warp(cfg, frame, flow)
 
 
 def init_state(cfg: EngineConfig, frames: jnp.ndarray, nil_feat=None) -> RecurrentState:
@@ -144,7 +153,7 @@ def step(
         fl = flows[:, b] if flows is not None else None
         inputs.append(_warp_frame(cfg, state.lastden[:, b], fl))
         if cfg.feature_rec and not cfg.no_warp:
-            feat_parts.append(warp(state.feat[:, b], fl, "bicubic")[0])
+            feat_parts.append(_warp(cfg, state.feat[:, b], fl))
         elif cfg.feature_rec:
             feat_parts.append(state.feat[:, b])
     inputs.append(cur)
