@@ -88,6 +88,8 @@ class Options:
     # TPU-specific
     mesh_shape: str = "data"  # data-parallel over all devices
     exact_precision: bool = True  # fp32-exact convs (parity); False = bf16 MXU
+    warp_impl: str = "auto"  # auto | xla | pallas (inference warping)
+    profile_dir: str = ""  # capture a jax.profiler trace of a few steps
 
     isTrain: bool = True
 
@@ -119,7 +121,15 @@ class Options:
             feature_rec=self.feature_rec,
             raw_gt=self.raw_gt,
             lambda_l1=self.lambda_L1,
+            warp_impl=self.resolve_warp_impl(),
         )
+
+    def resolve_warp_impl(self) -> str:
+        if self.warp_impl != "auto":
+            return self.warp_impl
+        import jax
+
+        return "pallas" if jax.default_backend() not in ("cpu",) else "xla"
 
     def gt_folder_for_mode(self) -> str:
         return self.gtFolder if self.raw_gt else self.gt_linear_RGB_Folder

@@ -156,11 +156,19 @@ class TrainWindowDataset:
             ].astype(np.float32)
         return item
 
-    def batches(self, batch_size: int, drop_last: bool = True) -> Iterator[Dict]:
-        """Assemble shuffled numpy batches."""
+    def batches(
+        self, batch_size: int, drop_last: bool = True, prefetch: int = 2
+    ) -> Iterator[Dict]:
+        """Shuffled numpy batches, assembled by a background thread so host
+        batch prep overlaps device compute (the reference used DataLoader
+        worker processes for this; data/__init__.py:75-80)."""
+        import queue
+        import threading
+
         n = len(self)
         stop = n - (n % batch_size) if drop_last else n
-        for s in range(0, stop, batch_size):
+
+        def make(s):
             items = [self[k] for k in range(s, min(s + batch_size, n))]
             out = {
                 k: np.stack([it[k] for it in items])
@@ -168,7 +176,33 @@ class TrainWindowDataset:
                 if isinstance(items[0][k], np.ndarray)
             }
             out["n_path"] = [it["n_path"] for it in items]
-            yield out
+            return out
+
+        starts = list(range(0, stop, batch_size))
+        if prefetch <= 0:
+            for s in starts:
+                yield make(s)
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+
+        def producer():
+            try:
+                for s in starts:
+                    q.put(("ok", make(s)))
+            except Exception as e:  # surface worker errors in the consumer
+                q.put(("err", e))
+            q.put(("done", None))
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            kind, payload = q.get()
+            if kind == "done":
+                break
+            if kind == "err":
+                raise payload
+            yield payload
 
 
 class InferenceDataset:

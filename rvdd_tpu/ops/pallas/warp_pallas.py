@@ -16,6 +16,9 @@ masks.  Performance structure:
 
 * channels are processed in groups of K as one [K, wh, ww] window — one
   roll serves K channels,
+* tiles span the full row by default: narrow tiles pay the x-halo and the
+  lane-roll wraparound repeatedly (64x512 tiles are ~4x slower than
+  64x1920 at 1080p),
 * the (d, e) sweep uses two *incremental* rolls (shift by one per
   iteration) instead of per-iteration dynamic rotates,
 * shifts with all-zero weights (box corners) are skipped,
@@ -154,7 +157,7 @@ def warp_bicubic_pallas(
     flow: jnp.ndarray,  # [B, H, W, 2]
     max_disp: int = 48,
     tile_h: int = 64,
-    tile_w: int = 512,
+    tile_w: int = 2048,
     group: int = 8,
 ):
     """Bicubic flow warp on TPU via the shift-accumulation kernel.

@@ -101,7 +101,7 @@ def compute_validation(
 ) -> Dict[str, float]:
     """Serial full-frame validation with carried recurrence (reference:
     validate.py:54-114).  Returns averaged losses ('<name>_valLoss')."""
-    cfg = opt.engine_config()
+    cfg = opt.engine_config()  # warp_impl resolved (pallas on TPU)
 
     @jax.jit
     def val_step(params, state_or_none, frames, flows, gt_last):
@@ -174,7 +174,10 @@ def train(opt: Options) -> None:
 
         use_exact_precision()
 
-    cfg = opt.engine_config()
+    # training differentiates through the warp -> force the XLA path
+    import dataclasses as _dc
+
+    cfg = _dc.replace(opt.engine_config(), warp_impl="xla")
     save_dir = opt.save_dir
     log = Logger(save_dir)
     opt.save(join(save_dir, "opt_train.json"))
@@ -246,9 +249,16 @@ def train(opt: Options) -> None:
     td = opt.patch_depth - 1
     total_iters = 0
     val_image_dir = join(save_dir, "val_visuals")
+    # plateau policy state (reference: networks/__init__.py:39-46)
+    plateau_factor, plateau_best, plateau_wait = 1.0, float("inf"), 0
 
     for epoch in range(epoch_start, opt.niter + opt.niter_decay + 1):
-        lr = lr_for_epoch(epoch, opt.lr, opt.lr_policy, opt.niter, opt.niter_decay, opt.lr_decay_iters)
+        if opt.lr_policy == "plateau":
+            lr = opt.lr * plateau_factor
+        else:
+            lr = lr_for_epoch(
+                epoch, opt.lr, opt.lr_policy, opt.niter, opt.niter_decay, opt.lr_decay_iters
+            )
         state = set_learning_rate(state, lr)
         epoch_t0 = time.time()
         epoch_len = max(len(train_ds) // opt.batch_size, 1)
@@ -258,12 +268,17 @@ def train(opt: Options) -> None:
             unrollings = active_unrollings(opt.unroll_focus, td, epoch)
             w = unroll_weights(opt.unroll_focus, td, epoch, it, epoch_len)
             frames, flows = prepare_host_batch(cfg, batch)
-            sharded = shard_batch(mesh, {"frames": frames, **({"flows": flows} if flows is not None else {}), "gt": batch["gt"]})
-            nil = (
-                net.nil_features(frames.shape[0], sharded["frames"].shape[2], sharded["frames"].shape[3])
-                if cfg.feature_rec
-                else None
+            sharded = shard_batch(
+                mesh,
+                {
+                    "frames": frames,
+                    **({"flows": flows} if flows is not None else {}),
+                    "gt": batch["gt"],
+                },
             )
+            # optional profiler capture of steps 2..5 of the first epoch
+            if opt.profile_dir and epoch == epoch_start and it == 2:
+                jax.profiler.start_trace(opt.profile_dir)
             t0 = time.time()
             state, losses = train_step(
                 state,
@@ -271,8 +286,10 @@ def train(opt: Options) -> None:
                 sharded.get("flows"),
                 sharded["gt"],
                 jnp.asarray(w),
-                nil,
             )
+            if opt.profile_dir and epoch == epoch_start and it == 5:
+                jax.block_until_ready(losses)
+                jax.profiler.stop_trace()
             total_iters += opt.batch_size
             if total_iters % opt.print_freq < opt.batch_size:
                 jax.block_until_ready(losses)
@@ -298,6 +315,17 @@ def train(opt: Options) -> None:
                 best_val = val_losses["Denoiser_valLoss"]
                 save_checkpoint(save_dir, "latest_val", state.params, state.opt_state)
                 save_status(save_dir, {"epoch": epoch, "best_val": best_val})
+
+            if opt.lr_policy == "plateau":
+                v = val_losses["Denoiser_valLoss"]
+                if v < plateau_best * (1.0 - 0.01):
+                    plateau_best, plateau_wait = v, 0
+                else:
+                    plateau_wait += 1
+                    if plateau_wait > 5:
+                        plateau_factor *= 0.2
+                        plateau_wait = 0
+                        log.line(f"plateau: lr factor -> {plateau_factor:.3e}")
 
         train_ds.prepare_epoch()
         log.line(

@@ -59,6 +59,17 @@ def make_optimizer(name: str, beta1: float, weight_decay: float) -> optax.Gradie
         )
     elif name == "adam":
         tx = optax.inject_hyperparams(optax.adam)(learning_rate=0.0, b1=beta1, b2=0.999)
+    elif name == "adabelief":
+        tx = optax.inject_hyperparams(optax.adabelief)(
+            learning_rate=0.0, b1=beta1, b2=0.999
+        )
+    elif name == "ranger":
+        # Ranger ~= RAdam + Lookahead; optax's lookahead needs a split
+        # fast/slow param tree, so we provide the RAdam core (the rectified
+        # warmup is the part that matters for these short schedules)
+        tx = optax.inject_hyperparams(optax.radam)(
+            learning_rate=0.0, b1=beta1, b2=0.999
+        )
     elif name == "sgd":
         tx = optax.inject_hyperparams(optax.sgd)(learning_rate=0.0, momentum=beta1)
     else:
