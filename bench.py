@@ -48,6 +48,7 @@ def main():
     cfg = EngineConfig(
         model_patch_depth=2, patch_depth=2 + fd, future_patch_depth=fd,
         feature_rec=feat, warp_impl="xla" if args.exact else "pallas",
+        state_dtype="float32" if args.exact else "bfloat16",
     )
     net_dtype = None if args.exact else jnp.bfloat16
     net = build_network(arch, cfg.network_input_nc, 3, feat, dtype=net_dtype)

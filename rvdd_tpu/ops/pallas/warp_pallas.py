@@ -104,6 +104,9 @@ def _warp_kernel(
     copy.wait()
     wh = th + 2 * pad_y
     ww = tw + 2 * pad_x
+    # bf16 windows halve the HBM traffic, but Mosaic's dynamic rotate is
+    # 32-bit only — convert once per tile before the shift sweep
+    winf = win_ref[:, :, :].astype(jnp.float32)
 
     def d_body(d, acc):
         wd = (
@@ -116,7 +119,7 @@ def _warp_kernel(
         def active(acc):
             # slice to the tile height before sweeping lanes: the e-loop
             # carry is then [K, th, ww] instead of the full window
-            rows_d = pltpu.roll(win_ref[:, :, :], wh - (pad_y + d) % wh, 1)[:, :th, :]
+            rows_d = pltpu.roll(winf, wh - (pad_y + d) % wh, 1)[:, :th, :]
             rows_e0 = pltpu.roll(rows_d, ww - (pad_x + emin) % ww, 2)
 
             def e_body(e, ecarry):
@@ -129,9 +132,7 @@ def _warp_kernel(
                 )
 
                 def add(a):
-                    return a + (wd * we)[None] * rows_e[:, :, :tw].astype(
-                        jnp.float32
-                    )
+                    return a + (wd * we)[None] * rows_e[:, :, :tw]
 
                 acc_out = jax.lax.cond(
                     jnp.any(we != 0.0), add, lambda a: a, acc_in
@@ -165,17 +166,20 @@ def warp_bicubic_pallas(
     Returns (warped [B, H, W, C], mask [B, H, W, 1]).
     """
     b, h, w, c = x.shape
-    # dynamic rotates need (8, 128)-aligned register shapes
-    pad_y = -(-(max_disp + 3) // 8) * 8
+    # dynamic rotates need natively-tiled register shapes:
+    # (8, 128) for f32, (16, 128) for bf16
+    sub = 16 if x.dtype == jnp.bfloat16 else 8
+    pad_y = -(-(max_disp + 3) // sub) * sub
     pad_x = -(-(max_disp + 3) // 64) * 64  # 2*pad_x keeps lanes 128-aligned
 
-    gx = jnp.arange(w, dtype=x.dtype)[None, None, :] + flow[..., 0]
-    gy = jnp.arange(h, dtype=x.dtype)[None, :, None] + flow[..., 1]
+    # mask arithmetic stays fp32 (bf16 cannot represent pixel indices)
+    gx = jnp.arange(w, dtype=jnp.float32)[None, None, :] + flow[..., 0].astype(jnp.float32)
+    gy = jnp.arange(h, dtype=jnp.float32)[None, :, None] + flow[..., 1].astype(jnp.float32)
     mask = (
         (gx >= 0.0) & (gx <= w - 1.0) & (gy >= 0.0) & (gy <= h - 1.0)
     ).astype(x.dtype)[..., None]
 
-    th = min(tile_h, -(-h // 8) * 8)
+    th = min(tile_h, -(-h // sub) * sub)
     tw = min(tile_w, -(-w // 128) * 128)
     hp = -(-h // th) * th
     wp = -(-w // tw) * tw

@@ -54,6 +54,9 @@ class EngineConfig:
     #: 'xla' (differentiable, any backend) or 'pallas' (TPU inference
     #: kernel, ~x3-50 faster at full-frame sizes)
     warp_impl: str = "xla"
+    #: dtype of the carried recurrence state ('float32' | 'bfloat16');
+    #: bfloat16 halves warp traffic in the fast inference mode
+    state_dtype: str = "float32"
 
     @property
     def d(self) -> int:  # number of previous frames fed to the net
@@ -122,13 +125,15 @@ def _warp_frame(cfg: EngineConfig, frame: jnp.ndarray, flow: Optional[jnp.ndarra
 def init_state(cfg: EngineConfig, frames: jnp.ndarray, nil_feat=None) -> RecurrentState:
     """Initial recurrence: previous noisy frames, zero features
     (reference: recurrent_model.py:233-245)."""
-    lastden = frames[:, : cfg.d]
+    sd = jnp.bfloat16 if cfg.state_dtype == "bfloat16" else jnp.float32
+    lastden = frames[:, : cfg.d].astype(sd)
     feat = None
     if cfg.feature_rec:
         if nil_feat is None:
             raise ValueError("feature_rec requires nil_feat [B, H, W, F]")
         feat = jnp.broadcast_to(
-            nil_feat[:, None], (nil_feat.shape[0], cfg.d, *nil_feat.shape[1:])
+            nil_feat[:, None].astype(sd),
+            (nil_feat.shape[0], cfg.d, *nil_feat.shape[1:]),
         )
     return RecurrentState(lastden, feat)
 
@@ -147,10 +152,27 @@ def step(
     Returns (denoised [B, H, W, C_out], next state).
     """
     d = cfg.d
+    sd = jnp.bfloat16 if cfg.state_dtype == "bfloat16" else jnp.float32
+    cur = cur.astype(sd)
     inputs = []
     feat_parts = []
+    fuse = (
+        cfg.feature_rec
+        and not cfg.no_warp
+        and not cfg.warp_raw
+        and cfg.warp_impl == "pallas"
+    )
     for b in range(d):
         fl = flows[:, b] if flows is not None else None
+        if fuse:
+            # one kernel launch warps the previous frame and its feature
+            # map together (same flow) — saves a tile sweep per step
+            c = state.lastden.shape[-1]
+            both = jnp.concatenate([state.lastden[:, b], state.feat[:, b]], axis=-1)
+            warped = _warp(cfg, both, fl)
+            inputs.append(warped[..., :c])
+            feat_parts.append(warped[..., c:])
+            continue
         inputs.append(_warp_frame(cfg, state.lastden[:, b], fl))
         if cfg.feature_rec and not cfg.no_warp:
             feat_parts.append(_warp(cfg, state.feat[:, b], fl))
@@ -159,7 +181,7 @@ def step(
     inputs.append(cur)
     for b in range(cfg.future_patch_depth):
         fl = flows[:, d + b] if flows is not None else None
-        inputs.append(_warp_frame(cfg, future[:, b], fl))
+        inputs.append(_warp_frame(cfg, future[:, b].astype(sd), fl))
 
     netinput = jnp.concatenate(inputs, axis=-1)
     feat_in = jnp.concatenate(feat_parts, axis=-1) if cfg.feature_rec else None
@@ -167,11 +189,13 @@ def step(
 
     # the --prev_noisy_frame ablation stores the current *noisy* frame
     # instead of the denoised one (reference: recurrent_model.py:335-336)
-    store = cur if cfg.prev_noisy_frame else denoised
+    store = (cur if cfg.prev_noisy_frame else denoised).astype(sd)
     lastden = jnp.concatenate([state.lastden[:, 1:], store[:, None]], axis=1)
     feat = None
     if cfg.feature_rec:
-        feat = jnp.concatenate([state.feat[:, 1:], new_feat[:, None]], axis=1)
+        feat = jnp.concatenate(
+            [state.feat[:, 1:], new_feat.astype(sd)[:, None]], axis=1
+        )
     return denoised, RecurrentState(lastden, feat)
 
 
