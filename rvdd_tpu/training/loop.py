@@ -145,10 +145,15 @@ def compute_validation(
         if "flow" in item:
             flows = jnp.asarray(item["flow"])[None][:, None]  # [B,1,D+fD,H,W,2]
         if flow_from_denoised and not first and prev_den is not None and flows is not None:
+            # recompute the past-frame flow from the previous *denoised*
+            # output (reference: validate.py:16-38; that path only supports
+            # future_patch_depth == 0, as does this one)
+            if cfg.future_patch_depth:
+                raise NotImplementedError(
+                    "--val_flow_from_denoised with future frames"
+                )
             fl = flow_from_prev(prev_den, frames[:, -1])
-            flows = jnp.broadcast_to(
-                fl[:, None, None], flows.shape
-            ) if False else fl[:, None, None].repeat(flows.shape[2], axis=2)
+            flows = fl[:, None, None].repeat(flows.shape[2], axis=2)
         gt_last = jnp.asarray(item["gt"][-1])[None]
         den, state, losses = val_step(params, state, frames, flows, gt_last)
         prev_den = den
