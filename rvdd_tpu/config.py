@@ -90,6 +90,7 @@ class Options:
     exact_precision: bool = True  # fp32-exact convs (parity); False = bf16 MXU
     warp_impl: str = "auto"  # auto | xla | pallas (inference warping)
     profile_dir: str = ""  # capture a jax.profiler trace of a few steps
+    distributed: bool = False  # multi-host: call jax.distributed.initialize()
 
     isTrain: bool = True
 

@@ -132,13 +132,19 @@ def compute_validation(
         cur01 = (cur_noisy_raw + 1.0) / 2.0
         return tvl1_flow(to_gray(cur01[0]), to_gray(prev01[0]))[None]
 
+    # a net trained with 1 unrolling (patch_depth == model_patch_depth)
+    # is non-recurrent: the recurrence re-initializes from the noisy
+    # previous frame on EVERY test frame (reference:
+    # recurrent_model.py:233-238 via training_unrollings == 1)
+    carry_state = cfg.train_unrollings > 1
+
     totals: Dict[str, float] = {}
     count = 0
     state = None
     prev_den = None
     for item in val_dataset:
         first = item["FirstOfVideo"]
-        if first:
+        if first or not carry_state:
             state = None
         frames = jnp.asarray(item["n"])[None]
         flows = None
@@ -173,6 +179,11 @@ def compute_validation(
 def train(opt: Options) -> None:
     """Full training entry (reference: train.py)."""
     from rvdd_tpu.models.factory import init_network
+
+    if opt.distributed:
+        # multi-host: one process per host, mesh spans all slices; intra-
+        # slice collectives ride ICI, cross-slice DP rides DCN
+        jax.distributed.initialize()
 
     if opt.exact_precision:
         from rvdd_tpu.precision import use_exact_precision
