@@ -25,6 +25,7 @@ from rvdd_tpu.ops.resize import (
     upsample2x_nearest,
 )
 from rvdd_tpu.models.unet import zero_pad_to
+from rvdd_tpu.ops.fastconv import Conv1x1, DepthwiseConv
 
 
 class ChannelLayerNorm(nn.Module):
@@ -71,22 +72,16 @@ class ConvNeXtBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         if self.in_features != self.features:
-            x = nn.Conv(self.features, (1, 1), dtype=self.dtype, name="proj")(x)
-        k = self.kernel_size
-        h = nn.Conv(
-            self.features,
-            (k, k),
-            padding=k // 2,
-            feature_group_count=self.features,
-            dtype=self.dtype,
-            name="dw",
+            x = Conv1x1(self.features, dtype=self.dtype, name="proj")(x)
+        h = DepthwiseConv(
+            self.features, self.kernel_size, dtype=self.dtype, name="dw"
         )(x)
         h = ChannelLayerNorm(self.features, name="ln")(h)
         if self.dtype is not None:
             h = h.astype(self.dtype)
-        h = nn.Conv(4 * self.features, (1, 1), dtype=self.dtype, name="pw1")(h)
+        h = Conv1x1(4 * self.features, dtype=self.dtype, name="pw1")(h)
         h = nn.gelu(h, approximate=False)
-        h = nn.Conv(self.features, (1, 1), dtype=self.dtype, name="pw2")(h)
+        h = Conv1x1(self.features, dtype=self.dtype, name="pw2")(h)
         h = LayerScale(self.features, self.layerscale_init, name="layerscale")(h)
         if self.dtype is not None:
             h = h.astype(self.dtype)
@@ -186,7 +181,7 @@ class ConvNeXtUNet(nn.Module):
 
         h = nconv(f, self.n_blocks_postprocessing, "post")(h)
         new_feat = h if self.feature_rec else None
-        h = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="post_final")(h)
+        h = Conv1x1(self.out_channels, dtype=self.dtype, name="post_final")(h)
         h = h.astype(jnp.float32)
         if new_feat is not None:
             new_feat = new_feat.astype(jnp.float32)

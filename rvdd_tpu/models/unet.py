@@ -26,6 +26,7 @@ from rvdd_tpu.ops.resize import (
     upsample2x_bilinear,
     upsample2x_nearest,
 )
+from rvdd_tpu.ops.fastconv import Conv1x1
 
 
 def zero_pad_to(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
@@ -158,8 +159,8 @@ class ConvUNet(nn.Module):
             d = nn.Conv(self.filters, (3, 3), padding=1, use_bias=self.use_bias, dtype=self.dtype, name=f"post{i}")(d)
             d = act(d)
         new_feat = d if self.feature_rec else None
-        d = nn.Conv(
-            self.out_channels, (1, 1), use_bias=self.use_bias, dtype=self.dtype, name="post_final"
+        d = Conv1x1(
+            self.out_channels, use_bias=self.use_bias, dtype=self.dtype, name="post_final"
         )(d)
         d = d.astype(jnp.float32)
         if new_feat is not None:
