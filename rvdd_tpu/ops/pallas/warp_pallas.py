@@ -60,6 +60,7 @@ def _warp_kernel(
     max_disp: int,
     h: int,
     w: int,
+    coeff_a: float,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -87,8 +88,8 @@ def _warp_kernel(
     gx = cols.astype(jnp.float32) + u
     iy = jnp.floor(gy)
     ix = jnp.floor(gx)
-    wy = cubic_kernel(gy - iy)
-    wx = cubic_kernel(gx - ix)
+    wy = cubic_kernel(gy - iy, coeff_a)
+    wx = cubic_kernel(gx - ix, coeff_a)
     iy = iy.astype(jnp.int32)
     ix = ix.astype(jnp.int32)
 
@@ -151,7 +152,8 @@ def _warp_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_disp", "tile_h", "tile_w", "group")
+    jax.jit,
+    static_argnames=("max_disp", "tile_h", "tile_w", "group", "coeff_a", "zero_outside"),
 )
 def warp_bicubic_pallas(
     x: jnp.ndarray,  # [B, H, W, C]
@@ -160,8 +162,15 @@ def warp_bicubic_pallas(
     tile_h: int = 64,
     tile_w: int = 2048,
     group: int = 8,
+    coeff_a: float = -0.75,
+    zero_outside: bool = False,
 ):
     """Bicubic flow warp on TPU via the shift-accumulation kernel.
+
+    coeff_a selects the cubic convolution family: -0.75 = torch grid_sample
+    (the model path), -0.5 = Catmull-Rom (the TV-L1 solver's C numerics).
+    zero_outside=True reproduces bicubic_interpolation_warp(border_out=true):
+    a pixel is zeroed whenever any of its 4x4 taps left the image.
 
     Returns (warped [B, H, W, C], mask [B, H, W, 1]).
     """
@@ -207,6 +216,7 @@ def warp_bicubic_pallas(
         max_disp=max_disp,
         h=h,
         w=w,
+        coeff_a=coeff_a,
     )
     grid = (hp // th, wp // tw, cp // kc)
 
@@ -235,4 +245,11 @@ def warp_bicubic_pallas(
     for bi in range(b):
         o = call(up[bi], vp[bi], xp[bi])
         outs.append(jnp.moveaxis(o[:c, :h, :w], 0, -1))
-    return jnp.stack(outs), mask
+    out = jnp.stack(outs)
+    if zero_outside:
+        # C-solver boundary rule: zero wherever the 4x4 stencil clamps
+        inside = (
+            (gx >= 1.0) & (gx < w - 2.0) & (gy >= 1.0) & (gy < h - 2.0)
+        ).astype(out.dtype)[..., None]
+        out = out * inside
+    return out, mask

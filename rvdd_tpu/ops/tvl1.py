@@ -163,7 +163,21 @@ def _warp_catmull_zero(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.
     zeroed whenever any of its 4x4 taps needed clamping
     (bicubic_interpolation.c:136-232).  For non-negative coords the stencil
     stays inside iff 1 <= coord < n-2.
+
+    On TPU, sufficiently large levels route through the Pallas
+    shift-accumulation kernel (XLA's per-pixel gathers dominate the solver
+    otherwise); small pyramid levels keep the gather form.
     """
+    h, w = img.shape
+    if jax.default_backend() not in ("cpu",) and h * w >= 64 * 128:
+        from rvdd_tpu.ops.pallas.warp_pallas import warp_bicubic_pallas
+
+        flow = jnp.stack([u, v], axis=-1)[None]
+        out, _ = warp_bicubic_pallas(
+            img[None, :, :, None], flow, max_disp=64, group=1,
+            coeff_a=-0.5, zero_outside=True,
+        )
+        return out[0, :, :, 0]
     h, w = img.shape
     gx = jnp.arange(w, dtype=img.dtype)[None, :] + u
     gy = jnp.arange(h, dtype=img.dtype)[:, None] + v
