@@ -23,6 +23,10 @@ def main():
     ap.add_argument("--frames", type=int, default=30)
     ap.add_argument("--streams", type=int, default=1,
                     help="batched independent video streams (throughput mode)")
+    ap.add_argument("--with_flow", action="store_true",
+                    help="self-contained mode: compute TV-L1 on device inside the step")
+    ap.add_argument("--fast_flow", action="store_true",
+                    help="with --with_flow: fast solver preset (2 warps, 75 iters)")
     ap.add_argument("--height", type=int, default=540)   # raw half-res
     ap.add_argument("--width", type=int, default=960)
     ap.add_argument("--exact", action="store_true", help="fp32-exact convs")
@@ -38,7 +42,12 @@ def main():
 
     from rvdd_tpu.models import build_network
     from rvdd_tpu.models.factory import init_network
-    from rvdd_tpu.recurrent.engine import EngineConfig, inference_step, prepare_frames
+    from rvdd_tpu.recurrent.engine import (
+        EngineConfig,
+        compute_window_flows,
+        inference_step,
+        prepare_frames,
+    )
 
     fd = 1 if "future" in args.model else 0
     feat = "feat" in args.model
@@ -59,7 +68,17 @@ def main():
 
     win = cfg.d + 1 + fd
 
+    flow_params = None
+    if args.with_flow:
+        from rvdd_tpu.ops.tvl1 import TVL1Params
+
+        flow_params = (
+            TVL1Params(nwarps=2, max_iterations=75) if args.fast_flow else TVL1Params()
+        )
+
     def step_fn(params, state, raw_window, flows):
+        if args.with_flow:
+            flows = compute_window_flows(cfg, raw_window, flow_params)[:, None]
         frames, flows2 = prepare_frames(cfg, raw_window, flows)
         nil = net.nil_features(raw_window.shape[0], 2 * h, 2 * w) if feat else None
         return inference_step(cfg, net, params, state, frames, flows2[:, 0], nil)
@@ -101,7 +120,9 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"1080p_fps_per_chip_{args.model.replace('+', '_')}" + ("" if args.streams == 1 else f"_x{args.streams}streams"),
+                "metric": f"1080p_fps_per_chip_{args.model.replace('+', '_')}"
+                + ("" if args.streams == 1 else f"_x{args.streams}streams")
+                + ("_online_flow" if args.with_flow else ""),
                 "value": round(fps, 2),
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / 30.0, 3),

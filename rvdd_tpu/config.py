@@ -60,6 +60,9 @@ class Options:
     frames2load: int = 10
     crop_data: str | None = None
     persist_flows: bool = True
+    # compute TV-L1 on device inside the inference step instead of the
+    # disk cache (self-contained streaming; the reference has no analogue)
+    online_flow: bool = False
 
     # training
     niter: int = 70

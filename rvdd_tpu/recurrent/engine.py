@@ -290,6 +290,32 @@ def scan_video(
     return dens  # [T, B, H, W, C_out]
 
 
+def compute_window_flows(cfg: EngineConfig, raw_window: jnp.ndarray, flow_params=None):
+    """On-device TV-L1 flows for one inference window (no disk cache).
+
+    raw_window: [B, D+1+fD, h, w, 4] packed raw (any affine range — the
+    solver normalizes jointly).  Returns [B, D+fD, h, w, 2] flows to the
+    current frame, matching the offline cache's convention
+    (reference: data/base_dataset.py:134-249).  The reference cannot do
+    this: its flow lives in an offline CPU precompute.
+    """
+    from rvdd_tpu.ops.tvl1 import TVL1Params, to_gray, tvl1_flow
+
+    params = flow_params or TVL1Params()
+    d, fd = cfg.d, cfg.future_patch_depth
+    b = raw_window.shape[0]
+    gray = to_gray(raw_window.reshape((-1,) + raw_window.shape[2:]))
+    gray = gray.reshape(raw_window.shape[:2] + gray.shape[1:])
+
+    outs = []
+    for bi in range(b):
+        cur = gray[bi, d]
+        per = [tvl1_flow(cur, gray[bi, k], params) for k in range(d)]
+        per += [tvl1_flow(cur, gray[bi, d + 1 + k], params) for k in range(fd)]
+        outs.append(jnp.stack(per))
+    return jnp.stack(outs)
+
+
 def compute_losses(
     cfg: EngineConfig,
     outputs: jnp.ndarray,  # [B, A, H, W, C_out] unrolling outputs

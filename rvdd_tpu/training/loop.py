@@ -69,7 +69,7 @@ def _flow_shape_for(cfg: EngineConfig, item_flow: np.ndarray) -> np.ndarray:
 
 def build_validation(opt: Options) -> InferenceDataset:
     cache = None
-    if not opt.no_warp:
+    if not opt.no_warp and not opt.online_flow:
         cache = FlowCache(
             opt.val_dataroot, opt.nFolder, opt.flowFolder, opt.warp_method,
             persist=opt.persist_flows,
@@ -105,6 +105,10 @@ def compute_validation(
 
     @jax.jit
     def val_step(params, state_or_none, frames, flows, gt_last):
+        if opt.online_flow and not cfg.no_warp:
+            from rvdd_tpu.recurrent.engine import compute_window_flows
+
+            flows = compute_window_flows(cfg, frames)[:, None]
         frames2, flows2 = prepare_frames(cfg, frames, flows)
         fl = flows2[:, 0] if flows2 is not None else None
         nil = (
