@@ -62,7 +62,10 @@ def main():
         state_dtype="float32" if args.exact else "bfloat16",
     )
     net_dtype = None if args.exact else jnp.bfloat16
-    net = build_network(arch, cfg.network_input_nc, 3, feat, dtype=net_dtype)
+    kw = {}
+    if "newunet" in arch and not args.exact:
+        kw["fast_act"] = True
+    net = build_network(arch, cfg.network_input_nc, 3, feat, dtype=net_dtype, **kw)
     h, w = args.height, args.width
     params = init_network(net, jax.random.PRNGKey(0), (1, 2 * 64, 2 * 64, cfg.network_input_nc))
 

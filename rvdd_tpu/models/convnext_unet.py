@@ -68,6 +68,9 @@ class ConvNeXtBlock(nn.Module):
     kernel_size: int = 7
     layerscale_init: float = 0.1
     dtype: Any = None
+    #: tanh-approx GELU (vs the exact erf the reference uses); fast-mode
+    #: only — deviation ~1e-3, about half the activation cost on VPU
+    fast_act: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -80,7 +83,7 @@ class ConvNeXtBlock(nn.Module):
         if self.dtype is not None:
             h = h.astype(self.dtype)
         h = Conv1x1(4 * self.features, dtype=self.dtype, name="pw1")(h)
-        h = nn.gelu(h, approximate=False)
+        h = nn.gelu(h, approximate=self.fast_act)
         h = Conv1x1(self.features, dtype=self.dtype, name="pw2")(h)
         h = LayerScale(self.features, self.layerscale_init, name="layerscale")(h)
         if self.dtype is not None:
@@ -95,6 +98,7 @@ class NConvNeXtBlock(nn.Module):
     kernel_size: int = 7
     layerscale_init: float = 0.1
     dtype: Any = None
+    fast_act: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -105,6 +109,7 @@ class NConvNeXtBlock(nn.Module):
                 self.kernel_size,
                 self.layerscale_init,
                 self.dtype,
+                self.fast_act,
                 name=f"block{j}",
             )(x)
         return x
@@ -129,6 +134,7 @@ class ConvNeXtUNet(nn.Module):
     feature_rec: bool = False
     #: computation dtype; None = fp32, jnp.bfloat16 = MXU-native inference
     dtype: Any = None
+    fast_act: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, feat: Optional[jnp.ndarray] = None):
@@ -136,7 +142,8 @@ class ConvNeXtUNet(nn.Module):
 
         def nconv(in_f, n, name):
             return NConvNeXtBlock(
-                in_f, f, n, self.kernel_size, self.layerscale_init, self.dtype, name=name
+                in_f, f, n, self.kernel_size, self.layerscale_init, self.dtype,
+                self.fast_act, name=name
             )
 
         if self.feature_rec:
@@ -157,7 +164,7 @@ class ConvNeXtUNet(nn.Module):
                 h = self._downsample(h)
                 h = ConvNeXtBlock(
                     f, f, self.kernel_size, self.layerscale_init, self.dtype,
-                    name=f"enc_down{i}",
+                    self.fast_act, name=f"enc_down{i}",
                 )(h)
 
         h = nconv(f, self.n_blocks_bottleneck, "bottleneck")(h)
@@ -166,7 +173,7 @@ class ConvNeXtUNet(nn.Module):
             h = self._upsample(h)
             h = ConvNeXtBlock(
                 f, f, self.kernel_size, self.layerscale_init, self.dtype,
-                name=f"dec_up{i}",
+                self.fast_act, name=f"dec_up{i}",
             )(h)
             skip = skips[-(i + 2)]
             h = zero_pad_to(h, skip.shape[-3], skip.shape[-2])

@@ -58,6 +58,7 @@ def build_network(
     output_nc: int,
     feature_rec: bool = False,
     dtype=None,
+    **extra,
 ) -> nn.Module:
     """Instantiate the denoiser network for an architecture string.
 
@@ -72,7 +73,7 @@ def build_network(
         feat = mode == "feat" or feature_rec
         return ConvNeXtUNet(
             in_channels=input_nc, out_channels=output_nc, feature_rec=feat,
-            dtype=dtype, **kwargs
+            dtype=dtype, **kwargs, **extra
         )
 
     if "convunet" in name:
@@ -97,6 +98,7 @@ def build_network(
             feature_rec=feat,
             dtype=dtype,
             **kwargs,
+            **extra,
         )
 
     raise NotImplementedError(f"unknown architecture '{arch}'")
