@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import os
 import time
-from os.path import basename, dirname, join
+from os.path import basename, join
 from typing import Dict, Optional
 
 import numpy as np
@@ -60,11 +60,6 @@ class Logger:
         print(msg)
         with open(self.path, "a") as f:
             f.write(msg + "\n")
-
-
-def _flow_shape_for(cfg: EngineConfig, item_flow: np.ndarray) -> np.ndarray:
-    """[D+fD, H, W, 2] -> add unrolling axis -> [1, D+fD, H, W, 2]."""
-    return item_flow[None]
 
 
 def build_validation(opt: Options) -> InferenceDataset:
