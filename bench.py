@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--frames", type=int, default=30)
     ap.add_argument("--streams", type=int, default=1,
                     help="batched independent video streams (throughput mode)")
+    ap.add_argument("--scan", action="store_true",
+                    help="whole-clip lax.scan jit (no per-frame host sync)")
     ap.add_argument("--with_flow", action="store_true",
                     help="self-contained mode: compute TV-L1 on device inside the step")
     ap.add_argument("--fast_flow", action="store_true",
@@ -102,6 +104,45 @@ def main():
         -1,
     ).astype(np.float32)
     flows = jnp.asarray(np.broadcast_to(fl, (B, 1, cfg.d + fd, h, w, 2)).copy())
+
+    if args.scan:
+        from rvdd_tpu.recurrent.engine import scan_video
+
+        t_frames = args.frames
+
+        @jax.jit
+        def scan_fn(params, raw_clip, clip_flows):
+            frames, flows2 = prepare_frames(cfg, raw_clip, clip_flows)
+            frames_t = jnp.swapaxes(frames, 0, 1)
+            flows_t = jnp.swapaxes(flows2, 0, 1)
+            nil = net.nil_features(B, 2 * h, 2 * w) if feat else None
+            return scan_video(cfg, net, params, frames_t, flows_t, nil)
+
+        raw_clip = jnp.asarray(
+            rng.uniform(-1, 1, (B, t_frames, h, w, 4)).astype(np.float32)
+        )
+        clip_flows = jnp.asarray(
+            np.broadcast_to(fl, (B, t_frames, cfg.d + fd, h, w, 2)).copy()
+        )
+        dens = scan_fn(params, raw_clip, clip_flows)
+        float(jnp.sum(dens))  # warmup + completion barrier
+        t0 = time.perf_counter()
+        dens = scan_fn(params, raw_clip, clip_flows)
+        float(jnp.sum(dens))
+        dt = time.perf_counter() - t0
+        fps = t_frames * args.streams / dt
+        print(
+            json.dumps(
+                {
+                    "metric": f"1080p_fps_per_chip_{args.model.replace('+', '_')}_scan"
+                    + ("" if args.streams == 1 else f"_x{args.streams}streams"),
+                    "value": round(fps, 2),
+                    "unit": "frames/sec",
+                    "vs_baseline": round(fps / 30.0, 3),
+                }
+            )
+        )
+        return
 
     # init state from a first call with state=None
     first = jax.jit(lambda p, r, f: step_fn(p, None, r, f))

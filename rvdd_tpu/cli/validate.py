@@ -19,7 +19,11 @@ from rvdd_tpu.config import parse_options
 from rvdd_tpu.models import build_network
 from rvdd_tpu.models.factory import init_network
 from rvdd_tpu.training.checkpoints import load_checkpoint
-from rvdd_tpu.training.loop import build_validation, compute_validation
+from rvdd_tpu.training.loop import (
+    build_validation,
+    compute_validation,
+    compute_validation_scan,
+)
 
 
 def main(argv=None):
@@ -47,10 +51,15 @@ def main(argv=None):
 
     val_image_dir = join(opt.save_dir, "val_visuals")
     t0 = time.time()
-    losses = compute_validation(
-        opt, net, params, val_ds, val_image_dir,
-        flow_from_denoised=opt.val_flow_from_denoised,
-    )
+    if opt.val_scan:
+        if opt.val_flow_from_denoised:
+            raise NotImplementedError("--val_scan with --val_flow_from_denoised")
+        losses = compute_validation_scan(opt, net, params, val_ds, val_image_dir)
+    else:
+        losses = compute_validation(
+            opt, net, params, val_ds, val_image_dir,
+            flow_from_denoised=opt.val_flow_from_denoised,
+        )
     msg = ", ".join(f"{k}: {v:.3f}" for k, v in losses.items())
     print(f"---> validation: (time: {time.time()-t0:.1f}, #data: {len(val_ds)}) [{msg}]")
     with open(join(opt.save_dir, "val_losses.json"), "w") as f:

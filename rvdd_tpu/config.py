@@ -87,6 +87,13 @@ class Options:
     val_videos: str = "000,001,002,003,004"
     no_val: bool = False
     val_flow_from_denoised: bool = False
+    # pad full frames up to a multiple (raw-domain pixels) so mixed frame
+    # sizes share one jit specialization; 0 = exact sizes (default)
+    val_pad_multiple: int = 0
+    # stream whole clips through one lax.scan jit instead of per-frame
+    # steps (no host sync per frame; first D frames use denoised-prev
+    # recursion instead of the noisy-prev init, see scan_video)
+    val_scan: bool = False
 
     # TPU-specific
     mesh_shape: str = "data"  # data-parallel over all devices

@@ -22,7 +22,12 @@ from typing import Dict, Iterator, List, Optional
 
 import numpy as np
 
-from rvdd_tpu.data.io import list_sequence_dirs, list_video_files, load_image
+from rvdd_tpu.data.io import (
+    list_sequence_dirs,
+    list_video_files,
+    load_image,
+    load_image_stack,
+)
 from rvdd_tpu.data.flow_cache import FlowCache
 
 
@@ -91,10 +96,8 @@ class TrainWindowDataset:
             start = int(self.rng.integers(len(gt_paths) - n_load + 1))
             gt_paths = gt_paths[start : start + n_load]
             n_paths = n_paths[start : start + n_load]
-            self.videos_gt.append(
-                np.stack([load_image(p, self.bit_depth) for p in gt_paths])
-            )
-            noisy = np.stack([load_image(p, self.bit_depth) for p in n_paths])
+            self.videos_gt.append(load_image_stack(gt_paths, self.bit_depth))
+            noisy = load_image_stack(n_paths, self.bit_depth)
             self.videos_noisy.append(noisy)
             self.noisy_paths.append(n_paths)
             if self.no_warp or self.flow_cache is None:
@@ -253,14 +256,11 @@ class InferenceDataset:
 
     def __getitem__(self, index: int) -> Dict:
         seq, n_paths, gt_paths, z = self.samples[index]
-        gt = np.stack(
-            [load_image(gt_paths[z + k], self.bit_depth) for k in range(self.pd)]
+        gt = load_image_stack(
+            [gt_paths[z + k] for k in range(self.pd)], self.bit_depth
         )
-        noisy = np.stack(
-            [
-                load_image(n_paths[z + k], self.bit_depth)
-                for k in range(self.pd + self.fd)
-            ]
+        noisy = load_image_stack(
+            [n_paths[z + k] for k in range(self.pd + self.fd)], self.bit_depth
         )
         item = {
             "gt": _to_net(gt),
@@ -272,10 +272,11 @@ class InferenceDataset:
         }
         if not self.no_warp and self.flow_cache is not None:
             pairs = self.flow_cache.window_pairs(z, self.pd, self.fd)
-            raw = noisy * 0.5 + 0.5  # back to [0,1]; flows normalize internally
-            raw = raw * (2.0 ** float(self.bit_depth) - 1.0)
+            # cache misses reuse the already-loaded window (raw range)
+            # instead of re-reading frames from disk; noisy is [0, 1] here
+            raw = noisy * (2.0 ** float(self.bit_depth) - 1.0)
             item["flow"] = self.flow_cache.get_flows(
-                seq, n_paths, pairs, frames=None
+                seq, n_paths, pairs, frames=raw, frame_offset=z
             ).astype(np.float32)
         if self.crop is not None:
             cx, cy = self.crop

@@ -73,11 +73,14 @@ class FlowCache:
         frame_paths: Sequence[str],
         pairs: Sequence[Tuple[int, int]],
         frames: Optional[np.ndarray] = None,
+        frame_offset: int = 0,
     ) -> np.ndarray:
         """Flows for (from_idx, to_idx) frame pairs of one sequence.
 
         ``frames``: optional preloaded [T, H, W, C] stack (raw range);
-        otherwise frames are read from ``frame_paths``.
+        otherwise frames are read from ``frame_paths``.  When ``frames`` is
+        a window of the video rather than the whole clip, ``frame_offset``
+        is the absolute index of ``frames[0]`` (pair indices are absolute).
         Returns [len(pairs), H, W, 2].
         """
         fdir = self.seq_dir(seq_name)
@@ -92,7 +95,7 @@ class FlowCache:
         if missing:
             def gray(idx):
                 img = (
-                    frames[idx]
+                    frames[idx - frame_offset]
                     if frames is not None
                     else imread(frame_paths[idx]).astype(np.float32)
                 )

@@ -35,6 +35,47 @@ def load_image(path: str, bit_depth: int = 12) -> np.ndarray:
     return imread(path).astype(np.float32) / (2.0 ** float(bit_depth) - 1.0)
 
 
+_native = None
+
+
+def _native_loader(workers: int = 4):
+    """Lazily constructed native decode pool (native/librvdd_io.so), or
+    None when the library is not built."""
+    global _native
+    if _native is None:
+        try:
+            from rvdd_tpu.data import native
+
+            _native = native.NativeLoader(workers) if native.available() else False
+        except Exception:
+            _native = False
+    return _native or None
+
+
+def load_image_stack(
+    paths: List[str], bit_depth: int = 12, workers: int = 4
+) -> np.ndarray:
+    """Decode a same-shape frame stack -> [N, H, W, C] float32 in [0, 1].
+
+    Uses the native pthread decode pool when built (the TPU-side
+    equivalent of the reference's DataLoader worker processes; reference:
+    data/__init__.py:75-80) and falls back to per-file imageio reads.
+    """
+    first = load_image(paths[0], bit_depth)
+    if len(paths) == 1:
+        return first[None]
+    loader = _native_loader(workers) if first.ndim == 3 else None
+    if loader is not None:
+        try:
+            rest = loader.read_batch(
+                paths[1:], first.shape, scale=2.0 ** float(bit_depth) - 1.0
+            )
+            return np.concatenate([first[None], rest])
+        except Exception:
+            pass  # unsupported TIFF flavor -> python path
+    return np.stack([first] + [load_image(p, bit_depth) for p in paths[1:]])
+
+
 _EXTS = ["*.tiff", "*.tif", "*.png", "*.jpg", "*.jpeg", "*.raw"]
 
 

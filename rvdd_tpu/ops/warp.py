@@ -147,6 +147,19 @@ def warp(x: jnp.ndarray, flow: jnp.ndarray, interp: str = "bicubic"):
         wy = jnp.stack(cubic_kernel(gy - iy), axis=-1)
         ix = ix.astype(jnp.int32)
         iy = iy.astype(jnp.int32)
+        if jax.default_backend() == "cpu":
+            # 16 flat single-element gathers: on CPU the strided block
+            # gather below (and its scatter-add transpose) is ~1000x
+            # slower; numerics are identical (per-tap border clamp,
+            # weights from the unclipped fraction)
+            out = 0.0
+            for j in range(4):
+                iyj = jnp.clip(iy - 1 + j, 0, h - 1)
+                for i in range(4):
+                    ixi = jnp.clip(ix - 1 + i, 0, wd - 1)
+                    v = _gather2d(xf, iyj, ixi, wd)
+                    out = out + v * (wy[..., j] * wx[..., i])[..., None]
+            return out, mask
         sy, wy_rel = _remap_weights(iy, [wy[..., j] for j in range(4)], h)
         sx, wx_rel = _remap_weights(ix, [wx[..., i] for i in range(4)], wd)
         # ~16 output rows per gather chunk keeps the [n,4,4,C] intermediate

@@ -24,12 +24,17 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(spec: str = "data", devices=None) -> Mesh:
+def make_mesh(spec: str = "data", devices=None, batch_size: Optional[int] = None) -> Mesh:
     """Build a mesh from a spec string.
 
     'data'              -> 1-D mesh over all devices (batch DP)
     'data<N>'           -> 1-D mesh over N devices
     'data<N>xspace<M>'  -> 2-D mesh: N-way batch DP x M-way spatial
+
+    With the auto 'data' spec and a known ``batch_size``, the data axis is
+    capped at the largest divisor of the batch that fits the device count —
+    mirrors torch DataParallel's silent use of fewer GPUs when the batch is
+    small (reference: networks/__init__.py:110-113).
     """
     devices = np.asarray(devices if devices is not None else jax.devices())
     m = re.fullmatch(r"data(\d*)(?:xspace(\d+))?", spec)
@@ -39,6 +44,9 @@ def make_mesh(spec: str = "data", devices=None) -> Mesh:
     s = int(m.group(2)) if m.group(2) else 1
     if n is None:
         n = len(devices) // s
+        if batch_size is not None:
+            while n > 1 and batch_size % n:
+                n -= 1
     devices = devices[: n * s].reshape(n, s)
     return Mesh(devices, ("data", "space"))
 

@@ -85,6 +85,86 @@ def build_validation(opt: Options) -> InferenceDataset:
     )
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("cfg", "net", "online_flow", "padded"))
+def _val_step(
+    params, state_or_none, frames, flows, gt_last, valid_hw,
+    *, cfg, net, online_flow, padded=False,
+):
+    """One validation step.  Module-level + static (cfg, net) so the jit
+    cache survives across compute_validation calls — the per-epoch
+    validation costs zero recompiles after the first epoch.
+
+    With ``padded=True``, frames AND gt arrive padded to the same bucket
+    and ``valid_hw`` holds the true gt spatial size (dynamic, so every
+    frame size in a bucket shares one specialization); losses are masked
+    to the valid region.
+    """
+    if online_flow and not cfg.no_warp:
+        from rvdd_tpu.recurrent.engine import compute_window_flows
+
+        flows = compute_window_flows(cfg, frames)[:, None]
+    frames2, flows2 = prepare_frames(cfg, frames, flows)
+    fl = flows2[:, 0] if flows2 is not None else None
+    nil = (
+        net.nil_features(frames2.shape[0], frames2.shape[2], frames2.shape[3])
+        if cfg.feature_rec
+        else None
+    )
+    den, state = inference_step(cfg, net, params, state_or_none, frames2, fl, nil)
+    raw_domain_gt = cfg.raw_gt and not cfg.no_predemosaic
+    g = 2 if raw_domain_gt else 1
+    den_c = den[:, : g * gt_last.shape[1], : g * gt_last.shape[2]]
+    out = remosaic(den_c) if raw_domain_gt else den_c
+    if padded:
+        gh, gw = gt_last.shape[1], gt_last.shape[2]
+        mask = (
+            (jnp.arange(gh)[:, None] < valid_hw[0])
+            & (jnp.arange(gw)[None, :] < valid_hw[1])
+        ).astype(out.dtype)[None, :, :, None]
+        n_valid = jnp.sum(mask) * out.shape[0] * out.shape[-1]
+        diff = (out - gt_last) * mask
+        l1 = jnp.sum(jnp.abs(diff)) / n_valid * cfg.lambda_l1
+        mse = jnp.sum(diff * diff) / n_valid
+        ps = 10.0 * jnp.log10(4.0 / mse)
+    else:
+        l1 = jnp.mean(jnp.abs(out - gt_last)) * cfg.lambda_l1
+        from rvdd_tpu.ops.metrics import psnr
+
+        ps = psnr(out, gt_last, 2.0)
+    return den_c, state, {"L1": l1, "PSNR": ps, "Denoiser": l1}
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _flow_from_prev(prev_den, cur_noisy_raw, *, cfg):
+    """--val_flow_from_denoised: TV-L1 between the remosaicked previous
+    output and the current noisy raw (reference: validate.py:16-38)."""
+    prev = prev_den
+    if not cfg.no_predemosaic:
+        prev = remosaic(prev_den)
+    prev01 = (prev + 1.0) / 2.0
+    cur01 = (cur_noisy_raw + 1.0) / 2.0
+    return tvl1_flow(to_gray(cur01[0]), to_gray(prev01[0]))[None]
+
+
+def _pad_window(frames, flows, multiple: int):
+    """Pad a raw window (and flows) up to the next bucket so repeated
+    validation over near-identical frame sizes reuses one compilation
+    (SURVEY §7 hard-parts list).  Frames pad edge-replicated, flows zero."""
+    h, w = frames.shape[2], frames.shape[3]
+    ph, pw = (-h) % multiple, (-w) % multiple
+    if not ph and not pw:
+        return frames, flows
+    frames = jnp.pad(
+        frames, ((0, 0), (0, 0), (0, ph), (0, pw), (0, 0)), mode="edge"
+    )
+    if flows is not None:
+        flows = jnp.pad(flows, ((0, 0), (0, 0), (0, 0), (0, ph), (0, pw), (0, 0)))
+    return frames, flows
+
+
 def compute_validation(
     opt: Options,
     net,
@@ -97,39 +177,21 @@ def compute_validation(
     """Serial full-frame validation with carried recurrence (reference:
     validate.py:54-114).  Returns averaged losses ('<name>_valLoss')."""
     cfg = opt.engine_config()  # warp_impl resolved (pallas on TPU)
-
-    @jax.jit
-    def val_step(params, state_or_none, frames, flows, gt_last):
-        if opt.online_flow and not cfg.no_warp:
-            from rvdd_tpu.recurrent.engine import compute_window_flows
-
-            flows = compute_window_flows(cfg, frames)[:, None]
-        frames2, flows2 = prepare_frames(cfg, frames, flows)
-        fl = flows2[:, 0] if flows2 is not None else None
-        nil = (
-            net.nil_features(frames2.shape[0], frames2.shape[2], frames2.shape[3])
-            if cfg.feature_rec
-            else None
+    pad_multiple = opt.val_pad_multiple
+    if pad_multiple and flow_from_denoised:
+        raise NotImplementedError(
+            "--val_flow_from_denoised with --val_pad_multiple"
         )
-        den, state = inference_step(cfg, net, params, state_or_none, frames2, fl, nil)
-        out = den
-        if cfg.raw_gt and not cfg.no_predemosaic:
-            out = remosaic(den)
-        l1 = jnp.mean(jnp.abs(out - gt_last)) * cfg.lambda_l1
-        from rvdd_tpu.ops.metrics import psnr
 
-        return den, state, {"L1": l1, "PSNR": psnr(out, gt_last, 2.0), "Denoiser": l1}
+    def val_step(params, state_or_none, frames, flows, gt_last, valid_hw):
+        return _val_step(
+            params, state_or_none, frames, flows, gt_last, valid_hw,
+            cfg=cfg, net=net, online_flow=opt.online_flow,
+            padded=bool(pad_multiple),
+        )
 
-    @jax.jit
     def flow_from_prev(prev_den, cur_noisy_raw):
-        """--val_flow_from_denoised: TV-L1 between the remosaicked previous
-        output and the current noisy raw (reference: validate.py:16-38)."""
-        prev = prev_den
-        if not cfg.no_predemosaic:
-            prev = remosaic(prev_den)
-        prev01 = (prev + 1.0) / 2.0
-        cur01 = (cur_noisy_raw + 1.0) / 2.0
-        return tvl1_flow(to_gray(cur01[0]), to_gray(prev01[0]))[None]
+        return _flow_from_prev(prev_den, cur_noisy_raw, cfg=cfg)
 
     # a net trained with 1 unrolling (patch_depth == model_patch_depth)
     # is non-recurrent: the recurrence re-initializes from the noisy
@@ -157,10 +219,32 @@ def compute_validation(
                 raise NotImplementedError(
                     "--val_flow_from_denoised with future frames"
                 )
+            if cfg.d > 1 and count == 0:
+                # the reference's loop (validate.py:27-36) computes the SAME
+                # flow (last denoised -> current noisy) for every one of the
+                # patch_depth-1 slots; repeating it here is exact parity,
+                # but for D > 1 older slots get the wrong displacement
+                print(
+                    "warning: --val_flow_from_denoised with model_patch_depth"
+                    " > 2 repeats the last-frame flow for all previous-frame"
+                    " slots (reference behaviour)"
+                )
             fl = flow_from_prev(prev_den, frames[:, -1])
             flows = fl[:, None, None].repeat(flows.shape[2], axis=2)
         gt_last = jnp.asarray(item["gt"][-1])[None]
-        den, state, losses = val_step(params, state, frames, flows, gt_last)
+        gh, gw = gt_last.shape[1], gt_last.shape[2]
+        valid_hw = jnp.asarray([gh, gw], jnp.int32)
+        if pad_multiple:
+            frames, flows = _pad_window(frames, flows, pad_multiple)
+            raw_domain_gt = cfg.raw_gt and not cfg.no_predemosaic
+            # gt buckets to g x the raw bucket so every size in a bucket
+            # shares one specialization
+            gm = pad_multiple * (1 if raw_domain_gt or cfg.no_predemosaic else 2)
+            gt_last = jnp.pad(
+                gt_last,
+                ((0, 0), (0, (-gh) % gm), (0, (-gw) % gm), (0, 0)),
+            )
+        den, state, losses = val_step(params, state, frames, flows, gt_last, valid_hw)
         prev_den = den
         for k, v in losses.items():
             totals[k] = totals.get(k, 0.0) + float(v)
@@ -169,9 +253,118 @@ def compute_validation(
         if save_visuals and val_image_dir is not None:
             seq = item["seq"]
             name = os.path.splitext(basename(item["n_path"]))[0]
-            img = (np.asarray(den[0]) + 1.0) / 2.0 * 255.0
+            g = 2 if (cfg.raw_gt and not cfg.no_predemosaic) else 1
+            img = (np.asarray(den[0])[: g * gh, : g * gw] + 1.0) / 2.0 * 255.0
             imwrite(join(val_image_dir, seq, f"{name}_denoised.tif"), img.astype(np.float32))
 
+    return {f"{k}_valLoss": v / max(count, 1) for k, v in totals.items()}
+
+
+@partial(jax.jit, static_argnames=("cfg", "net"))
+def _val_scan_clip(params, raw_clip, flows, *, cfg, net):
+    """Whole-clip streaming inference under one jit (lax.scan over time,
+    O(1) recurrence state, no per-frame host sync)."""
+    from rvdd_tpu.recurrent.engine import scan_video
+
+    frames, flows2 = prepare_frames(cfg, raw_clip, flows)
+    frames_t = jnp.swapaxes(frames, 0, 1)  # [T, B, H, W, C]
+    flows_t = jnp.swapaxes(flows2, 0, 1) if flows2 is not None else None
+    nil = (
+        net.nil_features(frames.shape[0], frames.shape[2], frames.shape[3])
+        if cfg.feature_rec
+        else None
+    )
+    return scan_video(cfg, net, params, frames_t, flows_t, nil)  # [T, B, ...]
+
+
+def compute_validation_scan(
+    opt: Options,
+    net,
+    params,
+    val_dataset: InferenceDataset,
+    val_image_dir: Optional[str] = None,
+    save_visuals: bool = True,
+) -> Dict[str, float]:
+    """--val_scan: one lax.scan jit per clip instead of per-frame steps.
+
+    Protocol difference vs the per-frame path (and the reference): every
+    frame runs through the denoised-prev recursion from frame 0, so the
+    first D scored frames see a denoised (not noisy) previous frame; the
+    scored rows are the same N-D-fD frames per video.
+    """
+    cfg = opt.engine_config()
+    from rvdd_tpu.ops.metrics import psnr as psnr_fn
+
+    d, fd = cfg.d, cfg.future_patch_depth
+    totals: Dict[str, float] = {}
+    count = 0
+    for gt_dir, n_dir in zip(val_dataset.gt_dirs, val_dataset.n_dirs):
+        from rvdd_tpu.data.io import list_video_files
+
+        n_paths = list_video_files(n_dir)
+        gt_paths = list_video_files(gt_dir)
+        seq = basename(n_dir)
+        from rvdd_tpu.data.datasets import _to_net
+        from rvdd_tpu.data.io import load_image, load_image_stack
+
+        noisy01 = load_image_stack(n_paths, val_dataset.bit_depth)
+        # flows are computed/cached at full frame size (matching the
+        # per-frame path, which crops only after the cache lookup)
+        raw_full = noisy01 * (2.0 ** float(val_dataset.bit_depth) - 1.0)
+        if val_dataset.crop is not None:
+            cx, cy = val_dataset.crop
+            noisy01 = noisy01[:, :cx, :cy]
+        noisy = _to_net(noisy01)  # [N, h, w, 4]
+        n = noisy.shape[0]
+
+        flows = None
+        if not cfg.no_warp and val_dataset.flow_cache is not None:
+            raw = raw_full
+            flows = np.zeros(noisy.shape[:1] + (d + fd,) + noisy.shape[1:3] + (2,), np.float32)
+            for p in range(n):
+                pairs, slots = [], []
+                for k in range(d):  # frame p-d+k -> p
+                    src = p - d + k
+                    if src >= 0:
+                        pairs.append((src, p))
+                        slots.append(k)
+                for j in range(fd):  # frame p+1+j -> p
+                    src = p + 1 + j
+                    if src < n:
+                        pairs.append((src, p))
+                        slots.append(d + j)
+                if pairs:
+                    fl = val_dataset.flow_cache.get_flows(seq, n_paths, pairs, frames=raw)
+                    for s, f in zip(slots, fl):
+                        # cached flows may be full-frame when --crop_data is on
+                        flows[p, s] = f[: flows.shape[2], : flows.shape[3]]
+            flows = jnp.asarray(flows)[None]  # [1, N, d+fd, h, w, 2]
+
+        dens = _val_scan_clip(params, jnp.asarray(noisy)[None], flows, cfg=cfg, net=net)
+        dens = np.asarray(dens[:, 0])  # [N, H, W, C_out]
+
+        raw_domain_gt = cfg.raw_gt and not cfg.no_predemosaic
+        for p in range(d, n - fd):
+            gt_np = load_image(gt_paths[p], val_dataset.bit_depth) * 2.0 - 1.0
+            if val_dataset.crop is not None:
+                cx, cy = val_dataset.crop
+                g = 1 if val_dataset.raw_gt else 2
+                gt_np = gt_np[: g * cx, : g * cy]
+            gt_last = jnp.asarray(gt_np)
+            den = jnp.asarray(dens[p])
+            out = remosaic(den[None])[0] if raw_domain_gt else den
+            l1 = float(jnp.mean(jnp.abs(out - gt_last))) * cfg.lambda_l1
+            ps = float(psnr_fn(out, gt_last, 2.0))
+            for k, v in {"L1": l1, "PSNR": ps, "Denoiser": l1}.items():
+                totals[k] = totals.get(k, 0.0) + v
+            count += 1
+            if save_visuals and val_image_dir is not None:
+                name = os.path.splitext(basename(n_paths[p]))[0]
+                img = (dens[p] + 1.0) / 2.0 * 255.0
+                imwrite(
+                    join(val_image_dir, seq, f"{name}_denoised.tif"),
+                    img.astype(np.float32),
+                )
     return {f"{k}_valLoss": v / max(count, 1) for k, v in totals.items()}
 
 
@@ -241,7 +434,7 @@ def train(opt: Options) -> None:
 
     state, tx = create_train_state(params, opt.optimizer, opt.beta1, opt.weight_decay)
 
-    mesh = make_mesh(opt.mesh_shape)
+    mesh = make_mesh(opt.mesh_shape, batch_size=opt.batch_size)
     state = TrainState(
         replicate(mesh, state.params), replicate(mesh, state.opt_state), state.step
     )

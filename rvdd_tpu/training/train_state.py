@@ -35,6 +35,52 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+class LookaheadState(NamedTuple):
+    inner: Any  # inner (fast) optimizer state
+    slow: Any  # slow parameter copy
+    count: jnp.ndarray
+
+
+def lookahead(
+    tx: optax.GradientTransformation, sync_period: int = 6, slow_step: float = 0.5
+) -> optax.GradientTransformation:
+    """Lookahead wrapper (Zhang et al. 2019) over a fast optimizer.
+
+    Unlike ``optax.lookahead`` this keeps the slow weights inside the
+    optimizer state (no split fast/slow parameter tree), so it composes
+    with the plain ``TrainState``.  Every ``sync_period`` steps the slow
+    weights move ``slow_step`` of the way to the fast weights and the fast
+    weights are reset onto them — expressed as a correction to the update.
+    """
+
+    def init(params):
+        return LookaheadState(
+            tx.init(params),
+            jax.tree_util.tree_map(jnp.asarray, params),
+            jnp.zeros((), jnp.int32),
+        )
+
+    def update(grads, state, params):
+        updates, inner = tx.update(grads, state.inner, params)
+        count = state.count + 1
+        fast = optax.apply_updates(params, updates)
+
+        def do_sync(_):
+            new_slow = jax.tree_util.tree_map(
+                lambda s, f: s + slow_step * (f - s), state.slow, fast
+            )
+            return new_slow, new_slow  # fast resets onto slow
+
+        def no_sync(_):
+            return fast, state.slow
+
+        final, slow = jax.lax.cond(count % sync_period == 0, do_sync, no_sync, None)
+        new_updates = jax.tree_util.tree_map(lambda f, p: f - p, final, params)
+        return new_updates, LookaheadState(inner, slow, count)
+
+    return optax.GradientTransformation(init, update)
+
+
 def lr_for_epoch(epoch: int, lr: float, policy: str, niter: int, niter_decay: int,
                  lr_decay_iters: int = 50) -> float:
     """Learning rate in effect during (1-based) ``epoch``."""
@@ -64,11 +110,14 @@ def make_optimizer(name: str, beta1: float, weight_decay: float) -> optax.Gradie
             learning_rate=0.0, b1=beta1, b2=0.999
         )
     elif name == "ranger":
-        # Ranger ~= RAdam + Lookahead; optax's lookahead needs a split
-        # fast/slow param tree, so we provide the RAdam core (the rectified
-        # warmup is the part that matters for these short schedules)
-        tx = optax.inject_hyperparams(optax.radam)(
-            learning_rate=0.0, b1=beta1, b2=0.999
+        # Ranger = RAdam + Lookahead (reference: models/base_model.py:78-80
+        # imports the `ranger` package; its defaults are k=6, alpha=0.5)
+        tx = lookahead(
+            optax.inject_hyperparams(optax.radam)(
+                learning_rate=0.0, b1=beta1, b2=0.999
+            ),
+            sync_period=6,
+            slow_step=0.5,
         )
     elif name == "sgd":
         tx = optax.inject_hyperparams(optax.sgd)(learning_rate=0.0, momentum=beta1)
@@ -85,7 +134,9 @@ def create_train_state(params, optimizer: str = "adamw", beta1: float = 0.9,
 
 def set_learning_rate(state: TrainState, lr: float) -> TrainState:
     opt_state = state.opt_state
-    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    # ranger wraps the inject_hyperparams state inside LookaheadState
+    hp_state = opt_state.inner if isinstance(opt_state, LookaheadState) else opt_state
+    hp_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
     return TrainState(state.params, opt_state, state.step)
 
 

@@ -6,7 +6,9 @@ host-platform device-count override.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force, don't setdefault: the environment carries JAX_PLATFORMS=axon (the
+# remote TPU relay) and running unit tests through the relay is ~10x slower
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -24,6 +26,13 @@ import pytest
 jax.config.update("jax_default_matmul_precision", "highest")
 
 GOLDEN_DIR = pathlib.Path(__file__).parent / "golden"
+
+
+def pytest_collection_modifyitems(config, items):
+    """Everything not marked slow is the 'fast' smoke subset (-m fast)."""
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.fast)
 
 
 @pytest.fixture(scope="session")

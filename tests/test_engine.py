@@ -28,6 +28,7 @@ def small_setup():
     return cfg, net, params
 
 
+@pytest.mark.slow
 def test_train_forward_shapes(small_setup):
     cfg, net, params = small_setup
     rng = np.random.default_rng(0)
@@ -54,6 +55,7 @@ def test_train_forward_shapes(small_setup):
     assert np.isfinite(float(losses["PSNR"]))
 
 
+@pytest.mark.slow
 def test_inference_state_carry(small_setup):
     cfg, net, params = small_setup
     rng = np.random.default_rng(1)
@@ -77,6 +79,7 @@ def test_inference_state_carry(small_setup):
     assert state2.lastden.shape == state.lastden.shape
 
 
+@pytest.mark.slow
 def test_scan_video_matches_stepwise():
     """Streamed scan must agree with the per-frame python loop."""
     cfg = EngineConfig(model_patch_depth=2, patch_depth=2, future_patch_depth=0)

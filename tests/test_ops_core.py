@@ -59,6 +59,7 @@ class TestHamiltonAdams:
         out = np.asarray(hamilton_adams(jnp.asarray(raw)))
         np.testing.assert_allclose(out, nchw_to_nhwc(g["rgb"]), atol=2e-5)
 
+    @pytest.mark.slow
     def test_multiframe(self, golden):
         g = golden("hamilton_adams_multiframe")
         raw = g["raw"]  # [1, 8, H, W] = two packed frames channel-stacked
@@ -68,6 +69,7 @@ class TestHamiltonAdams:
         ref = nchw_to_nhwc(g["rgb"].reshape(b * 2, 3, 2 * h, 2 * w))
         np.testing.assert_allclose(out, ref, atol=2e-5)
 
+    @pytest.mark.slow
     def test_constant_image_interior(self):
         # borders differ because the masked chroma channels replicate a
         # masked (zero) sample — the reference does the same.

@@ -2,6 +2,7 @@
 round-trip properties."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -33,6 +34,7 @@ def test_smoothstep_roundtrip():
     np.testing.assert_allclose(np.asarray(smoothstep(inverse_smoothstep(x))), np.asarray(x), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_unprocess_forward_roundtrip():
     """sRGB -> raw linear RGB -> sRGB should approximately round-trip."""
     rng = np.random.default_rng(0)

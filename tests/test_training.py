@@ -31,6 +31,7 @@ def tiny_root(tmp_path_factory):
     return str(root)
 
 
+@pytest.mark.slow
 def test_train_epoch_and_autoresume(tiny_root, tmp_path):
     opt = Options(
         checkpoints_dir=str(tmp_path / "ckpt"),
