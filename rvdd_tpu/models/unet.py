@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Any, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -47,14 +48,33 @@ def _activation(name: str):
     return nn.relu
 
 
+def _normalize(x, kind: str):
+    """conv -> norm -> act normalization slot (reference:
+    networks/unet.py:66,140,516; default None = Identity,
+    unet.py:350-351)."""
+    if kind in (None, "none"):
+        return x
+    if kind == "instance":
+        # torch nn.InstanceNorm2d defaults: affine=False, eps=1e-5,
+        # per-sample per-channel stats over H, W
+        mean = jnp.mean(x, axis=(-3, -2), keepdims=True)
+        var = jnp.var(x, axis=(-3, -2), keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + 1e-5)
+    raise NotImplementedError(
+        f"normalization '{kind}' (the reference default is Identity; "
+        "'batch' would need running-stats state)"
+    )
+
+
 class NConvBlock(nn.Module):
-    """n x (3x3 conv + activation); the per-scale block."""
+    """n x (3x3 conv + norm + activation); the per-scale block."""
 
     features: int
     n_blocks: int = 2
     activation: str = "relu"
     use_bias: bool = True
     dtype: Any = None
+    normalization: str = "none"
 
     @nn.compact
     def __call__(self, x):
@@ -64,6 +84,7 @@ class NConvBlock(nn.Module):
                 self.features, (3, 3), padding=1, use_bias=self.use_bias,
                 dtype=self.dtype, name=f"conv{j}",
             )(x)
+            x = _normalize(x, self.normalization)
             x = act(x)
         return x
 
@@ -89,6 +110,8 @@ class ConvUNet(nn.Module):
     downsampling_mode: str = "convmax"
     upsampling_mode: str = "bilinear"
     activation: str = "relu"
+    normalization: str = "none"
+    bottleneck_dilation: bool = False
     use_bias: bool = True
     residual: bool = False
     fixed_features: bool = True
@@ -121,6 +144,7 @@ class ConvUNet(nn.Module):
                 self.activation,
                 self.use_bias,
                 self.dtype,
+                self.normalization,
                 name=f"enc_conv{i}",
             )(h)
             skips.append(h)
@@ -133,7 +157,14 @@ class ConvUNet(nn.Module):
         s = d
         bneck_feat = self._enc_features(self.depth - 1)
         for i in range(self.bottleneck_depth):
-            d = nn.Conv(bneck_feat, (3, 3), padding=1, use_bias=self.use_bias, dtype=self.dtype, name=f"bottleneck{i}")(d)
+            # --bottleneck_dilation: conv i dilated by 2^i with matching
+            # padding (reference: networks/unet.py:448-463); no norm in the
+            # bottleneck in either mode
+            dil = 2**i if self.bottleneck_dilation else 1
+            d = nn.Conv(
+                bneck_feat, (3, 3), padding=dil, kernel_dilation=(dil, dil),
+                use_bias=self.use_bias, dtype=self.dtype, name=f"bottleneck{i}",
+            )(d)
             d = act(d)
             s = s + d
         d = s
@@ -142,21 +173,23 @@ class ConvUNet(nn.Module):
         for i in range(self.depth - 1):
             lvl = self.depth - 2 - i  # encoder level being fused
             feats = self._enc_features(lvl)
-            d = self._upsample(d)
+            d = self._upsample(d, i)
             d = nn.Conv(feats, (3, 3), padding=1, use_bias=self.use_bias, dtype=self.dtype, name=f"dec_up{i}")(d)
+            d = _normalize(d, self.normalization)
             d = act(d)
             skip = skips[lvl]
             d = zero_pad_to(d, skip.shape[-3], skip.shape[-2])
             d = jnp.concatenate([skip, d], axis=-1)
             d = NConvBlock(
                 feats, self.n_blocks_decoder, self.activation, self.use_bias,
-                self.dtype, name=f"dec_conv{i}",
+                self.dtype, self.normalization, name=f"dec_conv{i}",
             )(d)
 
         # post-processing; the activation before the final 1x1 conv is the
         # recurrent feature state.
         for i in range(self.post_depth - 1):
             d = nn.Conv(self.filters, (3, 3), padding=1, use_bias=self.use_bias, dtype=self.dtype, name=f"post{i}")(d)
+            d = _normalize(d, self.normalization)
             d = act(d)
         new_feat = d if self.feature_rec else None
         d = Conv1x1(
@@ -190,13 +223,45 @@ class ConvUNet(nn.Module):
             )(h)
         raise NotImplementedError(f"downsampling_mode {mode}")
 
-    def _upsample(self, d):
-        if self.upsampling_mode == "bilinear":
+    def _upsample(self, d, i: int):
+        mode = self.upsampling_mode
+        if mode == "bilinear":
             # torch nn.Upsample default: align_corners=False
             return upsample2x_bilinear(d, align_corners=False)
-        if self.upsampling_mode == "nearest":
+        if mode == "nearest":
             return upsample2x_nearest(d)
-        raise NotImplementedError(f"upsampling_mode {self.upsampling_mode}")
+        if mode[:14].lower() == "transposedconv":
+            # torch ConvTranspose2d(ch, ch, k, stride=2, padding=(k-1)//2)
+            # (reference: networks/unet.py:120-135); expressed as an
+            # input-dilated conv with the spatially-flipped kernel
+            k = int(mode[14:]) if len(mode) > 14 else 2
+            p = (k - 1) // 2
+            ch = d.shape[-1]
+            kernel = self.param(
+                f"up_transposed{i}_kernel",
+                nn.initializers.lecun_normal(),
+                (k, k, ch, ch),
+            )
+            bias = (
+                self.param(f"up_transposed{i}_bias", nn.initializers.zeros, (ch,))
+                if self.use_bias
+                else None
+            )
+            if self.dtype is not None:
+                d = d.astype(self.dtype)
+                kernel = kernel.astype(self.dtype)
+            y = jax.lax.conv_general_dilated(
+                d,
+                kernel[::-1, ::-1],
+                window_strides=(1, 1),
+                padding=[(k - 1 - p, k - 1 - p)] * 2,
+                lhs_dilation=(2, 2),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            if bias is not None:
+                y = y + (bias.astype(self.dtype) if self.dtype is not None else bias)
+            return y
+        raise NotImplementedError(f"upsampling_mode {mode}")
 
     def nil_features(self, batch: int, h: int, w: int, dtype=jnp.float32):
         """Zero recurrent feature state (reference: networks/unet.py:820-825)."""

@@ -1,0 +1,352 @@
+"""Pallas TPU fused conv-chain kernel for the 48-channel U-Net hot path.
+
+Why.  XLA's conv at 1080p/48ch is HBM-bound through its 48->128 lane-padded
+NHWC layout: measured 21 TF/s = exactly that layout's bandwidth bound
+(tools/mm_bench.py), so the U-Net forward costs 87 ms.  Two measured facts
+unlock a much faster design (tools/mxu_m_bench.py):
+
+* the MXU streams LHS rows at sublane granularity — a [48, K]@[K, 2048]
+  dot runs at 70-92% of peak, so out-channels can sit on M with NO
+  128-padding penalty;
+* VPU copies run at 8-18 TB/s, so building the 9-tap im2col row slab in
+  registers is cheap.
+
+Design.  Activations live in the row-major channel-interleaved planar
+layout ``[(H*C), WL]`` — W on lanes (no padding at 128-multiples), one
+row-block of C sublanes per image row.  A whole chain of 3x3 convs
+(conv -> act -> conv -> ...) runs per row-band tile with intermediates in
+VMEM, so inter-conv activations never touch HBM.  Per output row:
+
+    slab  = band[r*C : (r+3)*C]                  # [3C, WL], free reshape
+    pat   = [slab>>1 ; slab ; slab<<1]            # [9C, WL], 2 lane shifts
+    out_r = act(W[Cout, 9C] @ pat + b) * mask     # one MXU dot
+
+``mask`` zeroes lanes >= W and rows outside the image, which reproduces
+zero-padding semantics (torch Conv2d padding=1) exactly: padding lanes/rows
+stay zero after every layer, so border taps read true zeros.
+
+Supports: a second input concatenated after layer 0 (the U-Net feature
+recurrence / skip fusion), multiple emitted layers (skip connections), a
+trailing 1x1 conv (the output head), relu/none activations.
+
+Replaces (functionally): the convolutions of reference networks/unet.py
+NConvBlock/UpConv/PostConvs (reference: networks/unet.py:26-147,521-588) on
+the inference fast path.  Forward-only; training uses the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def lane_width(w: int) -> int:
+    """Smallest 128-multiple with at least one zero lane after the image
+    (the im2col lane shifts wrap, so lane WL-1 must stay zero)."""
+    return -(-(w + 1) // 128) * 128
+
+
+def pack_weight(w: jnp.ndarray, cin_split: Optional[int] = None) -> jnp.ndarray:
+    """[3, 3, Cin, Cout] HWIO -> [Cout, 9*Cin] matching the kernel's patch
+    order: dx-major, then (dy, cin).
+
+    cin_split: if the chain concatenates a second input after layer 0, the
+    kernel builds the slab as [conv rows (dy, cـa) ; aux rows (dy, c_b)] per
+    dx block — reorder the cin dimension accordingly.
+    """
+    kh, kw, cin, cout = w.shape
+    if cin_split is None:
+        # [dy, dx, ci, co] -> [dx, dy, ci, co]
+        wm = jnp.transpose(w, (1, 0, 2, 3)).reshape(kh * kw * cin, cout)
+    else:
+        ca = cin_split
+        wa = jnp.transpose(w[:, :, :ca], (1, 0, 2, 3)).reshape(kw, kh * ca, cout)
+        wb = jnp.transpose(w[:, :, ca:], (1, 0, 2, 3)).reshape(
+            kw, kh * (cin - ca), cout
+        )
+        wm = jnp.concatenate([wa, wb], axis=1).reshape(kh * kw * cin, cout)
+    return jnp.transpose(wm, (1, 0))
+
+
+def _chain_kernel(
+    *refs,
+    th: int,
+    wl: int,
+    w_img: int,
+    h_img: int,
+    halos: Sequence[int],  # h_l: extra rows each side of the band at layer l
+    chans: Sequence[int],  # per-layer (cin, cout, ksize, act)
+    layer_specs: Sequence[tuple],
+    emit: Sequence[int],
+    aux_c: int,
+    n_tiles: int,
+    out_dtype,
+):
+    nl = len(layer_specs)
+    n_in = 2 if aux_c else 1
+    x_ref = refs[0]
+    aux_ref = refs[1] if aux_c else None
+    w_refs = refs[n_in : n_in + nl]
+    b_refs = refs[n_in + nl : n_in + 2 * nl]
+    out_refs = refs[n_in + 2 * nl : n_in + 2 * nl + len(emit)]
+    scratch = list(refs[n_in + 2 * nl + len(emit) :])
+    win_x = scratch.pop(0)
+    win_aux = scratch.pop(0) if aux_c else None
+    bands = scratch[:-1]
+    sem = scratch[-1]
+
+    i = pl.program_id(0)
+
+    cx = layer_specs[0][0]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, wl), 1)
+    lane_mask = (lanes < w_img).astype(jnp.float32)
+
+    def dma_in(dst_ref, src_ref, c, h_halo):
+        """Copy the tile's row band [i*th - h_halo, i*th + th + h_halo) of a
+        [(H*c), WL] HBM ref into VMEM, zero-filling rows outside the image."""
+        rows = th + 2 * h_halo
+        if n_tiles == 1:
+            dst_ref[: h_halo * c] = jnp.zeros((h_halo * c, wl), dst_ref.dtype)
+            dst_ref[(h_halo + th) * c :] = jnp.zeros((h_halo * c, wl), dst_ref.dtype)
+            cp = pltpu.make_async_copy(
+                src_ref.at[pl.ds(0, th * c)],
+                dst_ref.at[pl.ds(h_halo * c, th * c)],
+                sem,
+            )
+            cp.start()
+            cp.wait()
+            return
+
+        @pl.when(i == 0)
+        def _():
+            dst_ref[: h_halo * c] = jnp.zeros((h_halo * c, wl), dst_ref.dtype)
+            cp = pltpu.make_async_copy(
+                src_ref.at[pl.ds(0, (th + h_halo) * c)],
+                dst_ref.at[pl.ds(h_halo * c, (th + h_halo) * c)],
+                sem,
+            )
+            cp.start()
+            cp.wait()
+
+        @pl.when(i == n_tiles - 1)
+        def _():
+            dst_ref[(th + h_halo) * c :] = jnp.zeros((h_halo * c, wl), dst_ref.dtype)
+            cp = pltpu.make_async_copy(
+                src_ref.at[pl.ds((i * th - h_halo) * c, (th + h_halo) * c)],
+                dst_ref.at[pl.ds(0, (th + h_halo) * c)],
+                sem,
+            )
+            cp.start()
+            cp.wait()
+
+        @pl.when((i > 0) & (i < n_tiles - 1))
+        def _():
+            cp = pltpu.make_async_copy(
+                src_ref.at[pl.ds((i * th - h_halo) * c, rows * c)],
+                dst_ref.at[pl.ds(0, rows * c)],
+                sem,
+            )
+            cp.start()
+            cp.wait()
+
+    dma_in(win_x, x_ref, cx, halos[0])
+    if aux_c:
+        dma_in(win_aux, aux_ref, aux_c, halos[1])
+
+    def row_slice(ref, r, c, k):
+        """[k*c, WL] value at dynamic row r of a [(rows*c), WL] band ref."""
+        return ref[pl.ds(pl.multiple_of(r * c, 8), k * c), :]
+
+    in_band = win_x
+    in_c = cx
+    emit_idx = 0
+    for l, (cin, cout, ks, act) in enumerate(layer_specs):
+        h_in = halos[l]
+        h_out = h_in - (ks // 2)
+        rows_out = th + 2 * h_out
+        wm = w_refs[l][:, :]
+        bias = b_refs[l][:, :].astype(jnp.float32)  # [cout, 1]
+        out_band = bands[l]
+        aux_here = aux_c if l == 1 and aux_c else 0
+        band_in = in_band  # capture for the closure
+
+        def row_body(r, carry, *, band_in=band_in, in_c=in_c, ks=ks,
+                     aux_here=aux_here, wm=wm, bias=bias, act=act,
+                     cout=cout, out_band=out_band, h_out=h_out):
+            if ks == 3:
+                slab = row_slice(band_in, r, in_c, 3)
+                if aux_here:
+                    slab = jnp.concatenate(
+                        [slab, row_slice(win_aux, r, aux_here, 3)], axis=0
+                    )
+                pat = jnp.concatenate(
+                    [
+                        jnp.concatenate([slab[:, -1:], slab[:, :-1]], axis=1),
+                        slab,
+                        jnp.concatenate([slab[:, 1:], slab[:, :1]], axis=1),
+                    ],
+                    axis=0,
+                )
+            else:  # 1x1
+                pat = row_slice(band_in, r, in_c, 1)
+                if aux_here:
+                    pat = jnp.concatenate(
+                        [pat, row_slice(win_aux, r, aux_here, 1)], axis=0
+                    )
+            y = jax.lax.dot_general(
+                wm, pat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            y = y + bias
+            if act == "relu":
+                y = jnp.maximum(y, 0.0)
+            # zero-padding semantics fused into the store: kill lanes >= W
+            # (bias/relu garbage + im2col lane wrap) and rows outside the
+            # image (the edge tiles' halo fringe)
+            g = i * th + r - h_out
+            in_img = ((g >= 0) & (g < h_img)).astype(jnp.float32)
+            y = y * (lane_mask * in_img)
+            out_band[pl.ds(pl.multiple_of(r * cout, 8), cout), :] = (
+                y.astype(jnp.bfloat16)
+            )
+            return carry
+
+        jax.lax.fori_loop(0, rows_out, row_body, 0)
+
+        if l in emit:
+            out_refs[emit_idx][:, :] = out_band[
+                h_out * cout : (h_out + th) * cout, :
+            ].astype(out_refs[emit_idx].dtype)
+            emit_idx += 1
+
+        in_band = out_band
+        in_c = cout
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "acts", "kernel_sizes", "emit", "h_img", "w_img", "tile_h",
+        "out_dtype", "interpret",
+    ),
+)
+def fused_conv_chain(
+    x: jnp.ndarray,  # [(H*Cx), WL] bf16, planar row-major; lanes >= W zero
+    weights: Sequence[jnp.ndarray],  # packed [Cout, K*K*Cin] (pack_weight)
+    biases: Sequence[jnp.ndarray],  # [Cout] each
+    acts: Sequence[str],
+    kernel_sizes: Sequence[int],
+    h_img: int,
+    w_img: int,
+    aux: Optional[jnp.ndarray] = None,  # [(H*Ca), WL], joins layer-1 input
+    emit: Sequence[int] = (),
+    tile_h: int = 0,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+):
+    """Run a fused chain of convs; returns one [(H*Cout_l), WL] per emit."""
+    nl = len(weights)
+    emit = tuple(emit) if emit else (nl - 1,)
+    wl = x.shape[-1]
+    assert x.shape[0] % h_img == 0
+    cx = x.shape[0] // h_img
+    aux_c = (aux.shape[0] // h_img) if aux is not None else 0
+    # HBM refs are (8, 128)-tiled: every DMA row-block offset (row * C) must
+    # be a sublane multiple, so all planar channel counts must divide by 8.
+    # Callers zero-pad (e.g. RGB input 6 -> 8, output head 3 -> 8).
+    assert cx % 8 == 0 and aux_c % 8 == 0, (cx, aux_c)
+    for wt in weights:
+        assert wt.shape[0] % 8 == 0, f"cout {wt.shape[0]} must divide by 8"
+
+    # per-layer channel/kernel bookkeeping
+    layer_specs = []
+    cin = cx
+    for l in range(nl):
+        cout = weights[l].shape[0]
+        ks = kernel_sizes[l]
+        full_cin = weights[l].shape[1] // (ks * ks)
+        layer_specs.append((cin, cout, ks, acts[l]))
+        assert full_cin == cin + (aux_c if l == 1 and aux_c else 0), (
+            f"layer {l}: weight cin {full_cin} != band {cin} + aux {aux_c}"
+        )
+        cin = cout
+
+    # halo schedule: h_l = rows of context needed each side before layer l
+    halos = [0] * (nl + 1)
+    for l in range(nl - 1, -1, -1):
+        halos[l] = halos[l + 1] + kernel_sizes[l] // 2
+
+    if tile_h <= 0:
+        tile_h = next(
+            (t for t in (36, 32, 30, 24, 20, 18, 16, 12, 8) if h_img % t == 0),
+            0,
+        )
+        if tile_h == 0:
+            tile_h = h_img  # single tile
+    assert h_img % tile_h == 0 and tile_h > halos[0]
+    n_tiles = h_img // tile_h
+
+    kern = functools.partial(
+        _chain_kernel,
+        th=tile_h,
+        wl=wl,
+        w_img=w_img,
+        h_img=h_img,
+        halos=tuple(halos),
+        chans=(),
+        layer_specs=tuple(layer_specs),
+        emit=emit,
+        aux_c=aux_c,
+        n_tiles=n_tiles,
+        out_dtype=out_dtype,
+    )
+
+    in_arrays = [x] + ([aux] if aux is not None else [])
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * len(in_arrays)
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * nl)
+
+    out_specs = []
+    out_shapes = []
+    for l in emit:
+        cout = layer_specs[l][1]
+        out_specs.append(
+            pl.BlockSpec((tile_h * cout, wl), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+        out_shapes.append(
+            jax.ShapeDtypeStruct((h_img * cout, wl), out_dtype)
+        )
+
+    scratch = [
+        pltpu.VMEM(((tile_h + 2 * halos[0]) * cx, wl), jnp.bfloat16),
+    ]
+    if aux_c:
+        scratch.append(
+            pltpu.VMEM(((tile_h + 2 * halos[1]) * aux_c, wl), jnp.bfloat16)
+        )
+    for l in range(nl):
+        rows = tile_h + 2 * halos[l + 1]
+        scratch.append(pltpu.VMEM((rows * layer_specs[l][1], wl), jnp.bfloat16))
+    scratch.append(pltpu.SemaphoreType.DMA)
+
+    wms = [w.astype(jnp.bfloat16) for w in weights]
+    bms = [b.reshape(-1, 1).astype(jnp.float32) for b in biases]
+
+    outs = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*in_arrays, *wms, *bms)
+    return outs
