@@ -1,0 +1,338 @@
+"""TPU fast-path forward for ConvUNet: fused Pallas conv chains + planar glue.
+
+Equivalent to ``ConvUNet.apply`` for the released configurations
+(fixed_features, depth=4, convmax down, bilinear up, relu, no norm) but
+~4x faster at 1080p: the full- and half-resolution levels run as fused
+Pallas conv-chain kernels (ops/pallas/conv_pallas.py) on row-major planar
+``[(H*C), WL]`` activations, the cheap quarter/eighth-resolution middle runs
+in XLA, and pool/upsample/pad glue stays planar (no NHWC round trips).
+
+Numerics: bf16 convs (fast inference mode), exact zero-padding and
+align_corners=False bilinear semantics incl. edge replication — parity with
+the XLA path is tested to bf16 tolerance in tests/test_fast_unet.py.
+
+Replaces (functionally): reference networks/unet.py UNet_FixedFeatures(+feat)
+forward (reference: networks/unet.py:595-825) on the inference fast path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rvdd_tpu.models.unet import ConvUNet
+from rvdd_tpu.ops.pallas.conv_pallas import (
+    fused_conv_chain,
+    lane_width,
+    pack_weight,
+)
+
+
+def supports_fast_path(net: ConvUNet, h: int, w: int) -> bool:
+    return (
+        isinstance(net, ConvUNet)
+        and net.fixed_features
+        and net.depth == 4
+        and net.bottleneck_depth == 2
+        and net.post_depth == 2
+        and net.n_blocks_encoder == 2
+        and net.n_blocks_decoder == 2
+        and net.downsampling_mode == "convmax"
+        and net.upsampling_mode == "bilinear"
+        and net.activation == "relu"
+        and net.normalization in (None, "none")
+        and not net.bottleneck_dilation
+        and not net.residual
+        and net.use_bias
+        and h % 8 == 0
+        and w % 8 == 0
+        and h >= 32
+        and w >= 32
+    )
+
+
+# ---------------------------------------------------------------- planar glue
+
+
+def to_planar(x: jnp.ndarray, wl: int, c_pad: int = 0) -> jnp.ndarray:
+    """[H, W, C] -> [(H*(C+c_pad)), WL] bf16 with zero lane/channel pad."""
+    h, w, c = x.shape
+    p = jnp.transpose(x, (0, 2, 1))  # [H, C, W]
+    p = jnp.pad(p, ((0, 0), (0, c_pad), (0, wl - w)))
+    return p.reshape(h * (c + c_pad), wl).astype(jnp.bfloat16)
+
+
+def from_planar(p: jnp.ndarray, h: int, w: int, c: Optional[int] = None) -> jnp.ndarray:
+    """[(H*C), WL] -> [H, W, c or C]."""
+    cp = p.shape[0] // h
+    x = p.reshape(h, cp, -1)[:, : (c or cp), :w]
+    return jnp.transpose(x, (0, 2, 1))
+
+
+def maxpool2x2_planar(p: jnp.ndarray, h: int) -> jnp.ndarray:
+    """2x2 max pool on [(H*C), WL] -> [(H/2*C), WL/2].  Zero pad lanes stay
+    zero (activations are post-relu, >= 0)."""
+    c = p.shape[0] // h
+    wl = p.shape[1]
+    x = p.reshape(h // 2, 2, c, wl)
+    x = jnp.maximum(x[:, 0], x[:, 1])  # rows
+    x = jnp.maximum(x[..., 0::2], x[..., 1::2])  # lanes
+    return x.reshape(h // 2 * c, wl // 2)
+
+
+def upsample2x_planar(p: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Bilinear 2x (torch align_corners=False semantics incl. edge
+    replication) on [(H*C), WL] -> [(2H*C), 2WL]; image width w -> 2w,
+    lanes beyond 2w zeroed."""
+    c = p.shape[0] // h
+    wl = p.shape[1]
+    x = p.reshape(h, c, wl).astype(jnp.bfloat16)  # 0.75/0.25 are bf16-exact
+
+    # columns: clamp-replicate the lane after the image edge so the
+    # interpolation at output lane 2w-1 sees the edge value, not the zero pad
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, wl), 2)
+    edge = jax.lax.dynamic_slice_in_dim(x, w - 1, 1, axis=2)
+    x = jnp.where(col == w, edge, x)
+    left = jnp.concatenate([x[..., :1], x[..., :-1]], axis=2)
+    right = jnp.concatenate([x[..., 1:], x[..., -1:]], axis=2)
+    # fold the pad-lane mask into the interpolation weights so the whole
+    # upsample is one fused elementwise pass per interleave
+    lanes2 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * wl), 2)
+    mask = (lanes2 < 2 * w).astype(jnp.bfloat16)
+    even = 0.75 * x + 0.25 * left
+    odd = 0.75 * x + 0.25 * right
+    x = jnp.stack([even, odd], axis=-1).reshape(h, c, 2 * wl) * mask
+
+    up = jnp.concatenate([x[:1], x[:-1]], axis=0)
+    dn = jnp.concatenate([x[1:], x[-1:]], axis=0)
+    even_r = 0.75 * x + 0.25 * up
+    odd_r = 0.75 * x + 0.25 * dn
+    return jnp.stack([even_r, odd_r], axis=1).reshape(2 * h * c, 2 * wl)
+
+
+# ------------------------------------------------------------------ XLA middle
+
+
+def _conv(p, x, act=True, dil=1):
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["kernel"].astype(x.dtype),
+        (1, 1),
+        [(dil, dil)] * 2,
+        rhs_dilation=(dil, dil),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + p["bias"].astype(x.dtype)
+    return jnp.maximum(y, 0.0) if act else y
+
+
+def _middle(params, d1):
+    """Quarter/eighth-res section in XLA NHWC: enc2 -> enc3 -> bottleneck ->
+    dec0; input/output [1, H/4, W/4, 48]."""
+    from rvdd_tpu.ops.resize import maxpool2x2, upsample2x_bilinear
+    from rvdd_tpu.models.unet import zero_pad_to
+
+    h = _conv(params["enc_conv2"]["conv0"], d1)
+    skip2 = _conv(params["enc_conv2"]["conv1"], h)
+    h = maxpool2x2(_conv(params["enc_down2"], skip2, act=False))
+    h = _conv(params["enc_conv3"]["conv0"], h)
+    skip3 = _conv(params["enc_conv3"]["conv1"], h)
+
+    d = skip3
+    s = d
+    for i in range(2):
+        d = _conv(params[f"bottleneck{i}"], d)
+        s = s + d
+    d = s
+
+    d = upsample2x_bilinear(d, align_corners=False)
+    d = _conv(params["dec_up0"], d)
+    d = zero_pad_to(d, skip2.shape[-3], skip2.shape[-2])
+    d = jnp.concatenate([skip2, d], axis=-1)
+    d = _conv(params["dec_conv0"]["conv0"], d)
+    d = _conv(params["dec_conv0"]["conv1"], d)
+    return d
+
+
+# -------------------------------------------------------------- weight packing
+
+
+def pack_fast_params(params, feature_rec: bool, in_nc: int):
+    """One-time conversion of the flax ConvUNet params pytree into the
+    packed matrices the fused kernels consume."""
+    f32 = jnp.float32
+
+    def w(p):
+        return p["kernel"].astype(f32)
+
+    def b(p):
+        return p["bias"].astype(f32)
+
+    def pad_cin(k, to):
+        return jnp.pad(k, ((0, 0), (0, 0), (0, to - k.shape[2]), (0, 0)))
+
+    def swap_concat(k, first):
+        # reference concatenates [skip, d]; the kernel slab is [conv-out,
+        # aux], so move the conv-input block first
+        return jnp.concatenate([k[:, :, first:], k[:, :, :first]], axis=2)
+
+    packed = {}
+    in_pad = -(-in_nc // 8) * 8
+    if feature_rec:
+        # chain A: pre (linear) -> concat feat -> enc0 c0, c1 -> down0
+        packed["A"] = dict(
+            ws=(
+                pack_weight(pad_cin(w(params["pre"]), in_pad)),
+                pack_weight(w(params["enc_conv0"]["conv0"]), cin_split=48),
+                pack_weight(w(params["enc_conv0"]["conv1"])),
+                pack_weight(w(params["enc_down0"])),
+            ),
+            bs=(b(params["pre"]), b(params["enc_conv0"]["conv0"]),
+                b(params["enc_conv0"]["conv1"]), b(params["enc_down0"])),
+            acts=("none", "relu", "relu", "none"),
+            ks=(3, 3, 3, 3),
+            emit=(2, 3),
+        )
+    else:
+        packed["A"] = dict(
+            ws=(
+                pack_weight(pad_cin(w(params["enc_conv0"]["conv0"]), in_pad)),
+                pack_weight(w(params["enc_conv0"]["conv1"])),
+                pack_weight(w(params["enc_down0"])),
+            ),
+            bs=(b(params["enc_conv0"]["conv0"]), b(params["enc_conv0"]["conv1"]),
+                b(params["enc_down0"])),
+            acts=("relu", "relu", "none"),
+            ks=(3, 3, 3),
+            emit=(1, 2),
+        )
+    packed["B"] = dict(
+        ws=(
+            pack_weight(w(params["enc_conv1"]["conv0"])),
+            pack_weight(w(params["enc_conv1"]["conv1"])),
+            pack_weight(w(params["enc_down1"])),
+        ),
+        bs=(b(params["enc_conv1"]["conv0"]), b(params["enc_conv1"]["conv1"]),
+            b(params["enc_down1"])),
+        acts=("relu", "relu", "none"),
+        ks=(3, 3, 3),
+        emit=(1, 2),
+    )
+    packed["dec1"] = dict(
+        ws=(
+            pack_weight(w(params["dec_up1"])),
+            pack_weight(swap_concat(w(params["dec_conv1"]["conv0"]), 48), cin_split=48),
+            pack_weight(w(params["dec_conv1"]["conv1"])),
+        ),
+        bs=(b(params["dec_up1"]), b(params["dec_conv1"]["conv0"]),
+            b(params["dec_conv1"]["conv1"])),
+        acts=("relu", "relu", "relu"),
+        ks=(3, 3, 3),
+        emit=(2,),
+    )
+    head_k = params["post_final"]["kernel"].astype(f32).reshape(
+        params["post_final"]["kernel"].shape[-2], -1
+    )  # [48, out]
+    out_nc = head_k.shape[-1]
+    out_pad = -(-out_nc // 8) * 8
+    head_w = jnp.pad(jnp.transpose(head_k, (1, 0)), ((0, out_pad - out_nc), (0, 0)))
+    head_b = jnp.pad(b(params["post_final"]), (0, out_pad - out_nc))
+    packed["dec2"] = dict(
+        ws=(
+            pack_weight(w(params["dec_up2"])),
+            pack_weight(swap_concat(w(params["dec_conv2"]["conv0"]), 48), cin_split=48),
+            pack_weight(w(params["dec_conv2"]["conv1"])),
+            pack_weight(w(params["post0"])),
+            head_w,
+        ),
+        bs=(b(params["dec_up2"]), b(params["dec_conv2"]["conv0"]),
+            b(params["dec_conv2"]["conv1"]), b(params["post0"]), head_b),
+        acts=("relu", "relu", "relu", "relu", "none"),
+        ks=(3, 3, 3, 3, 1),
+        emit=(3, 4),
+    )
+    packed["out_nc"] = out_nc
+    packed["in_pad"] = in_pad
+    packed["params_mid"] = {
+        k: jax.tree_util.tree_map(lambda a: a.astype(f32), params[k])
+        for k in (
+            "enc_conv2", "enc_down2", "enc_conv3",
+            "bottleneck0", "bottleneck1", "dec_up0", "dec_conv0",
+        )
+    }
+    return packed
+
+
+# ------------------------------------------------------------------- forward
+
+
+def convunet_fast_forward(
+    net: ConvUNet,
+    packed,
+    x: jnp.ndarray,  # [B, H, W, in_nc]
+    feat: Optional[jnp.ndarray] = None,  # [B, H, W, 48]
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Fast forward; returns (y [B,H,W,out_nc] f32, new_feat or None)."""
+    b, h, w, _ = x.shape
+    # the three resolution levels share one lane schedule (wl, wl/2, wl/4),
+    # so the full-res lane count must be a 512-multiple
+    wl = -(-(w + 1) // 512) * 512
+    outs = []
+    feats = []
+    for bi in range(b):
+        y, nf = _fast_forward_one(
+            net, packed, x[bi], feat[bi] if feat is not None else None,
+            h, w, wl, interpret,
+        )
+        outs.append(y)
+        feats.append(nf)
+    y = jnp.stack(outs)
+    nf = jnp.stack(feats) if net.feature_rec else None
+    return y, nf
+
+
+def _chain(packed_chain, x, aux, h, w, interpret):
+    return fused_conv_chain(
+        x,
+        packed_chain["ws"],
+        packed_chain["bs"],
+        packed_chain["acts"],
+        packed_chain["ks"],
+        h_img=h,
+        w_img=w,
+        aux=aux,
+        emit=packed_chain["emit"],
+        interpret=interpret,
+    )
+
+
+def _fast_forward_one(net, packed, x, feat, h, w, wl, interpret):
+    xp = to_planar(x, wl, c_pad=packed["in_pad"] - x.shape[-1])
+    auxp = to_planar(feat, wl) if net.feature_rec else None
+
+    skip0, d0pre = _chain(packed["A"], xp, auxp, h, w, interpret)
+    d0 = maxpool2x2_planar(d0pre, h)
+
+    skip1, d1pre = _chain(packed["B"], d0, None, h // 2, w // 2, interpret)
+    d1 = maxpool2x2_planar(d1pre, h // 2)
+
+    # quarter/eighth resolution in XLA NHWC (cheap; odd sizes handled by
+    # the existing zero_pad_to logic)
+    d1_nhwc = from_planar(d1, h // 4, w // 4)[None].astype(jnp.bfloat16)
+    m = _middle(packed["params_mid"], d1_nhwc)[0]
+
+    up1 = upsample2x_planar(to_planar(m, wl // 4), h // 4, w // 4)
+    (dec1,) = _chain(packed["dec1"], up1, skip1, h // 2, w // 2, interpret)
+
+    up2 = upsample2x_planar(dec1, h // 2, w // 2)
+    new_feat, out = _chain(packed["dec2"], up2, skip0, h, w, interpret)
+
+    y = from_planar(out, h, w, c=packed["out_nc"]).astype(jnp.float32)
+    nf = (
+        from_planar(new_feat, h, w).astype(jnp.float32)
+        if net.feature_rec
+        else None
+    )
+    return y, nf

@@ -57,6 +57,9 @@ class EngineConfig:
     #: dtype of the carried recurrence state ('float32' | 'bfloat16');
     #: bfloat16 halves warp traffic in the fast inference mode
     state_dtype: str = "float32"
+    #: 'xla' (flax apply, any backend) or 'fused' (Pallas fused conv-chain
+    #: forward for supported ConvUNet configs, TPU inference fast path)
+    net_impl: str = "xla"
 
     @property
     def d(self) -> int:  # number of previous frames fed to the net
@@ -185,7 +188,24 @@ def step(
 
     netinput = jnp.concatenate(inputs, axis=-1)
     feat_in = jnp.concatenate(feat_parts, axis=-1) if cfg.feature_rec else None
-    denoised, new_feat = net.apply({"params": params}, netinput, feat_in)
+    if cfg.net_impl == "fused":
+        from rvdd_tpu.models.fast_unet import (
+            convunet_fast_forward,
+            pack_fast_params,
+            supports_fast_path,
+        )
+
+        if not supports_fast_path(net, netinput.shape[1], netinput.shape[2]):
+            raise ValueError(
+                "net_impl='fused' but this net/shape has no fast path "
+                f"({type(net).__name__}, {netinput.shape})"
+            )
+        # weight packing is a handful of small transposes; under jit it is
+        # traced once and fused into the step
+        packed = pack_fast_params(params, cfg.feature_rec, netinput.shape[-1])
+        denoised, new_feat = convunet_fast_forward(net, packed, netinput, feat_in)
+    else:
+        denoised, new_feat = net.apply({"params": params}, netinput, feat_in)
 
     # the --prev_noisy_frame ablation stores the current *noisy* frame
     # instead of the denoised one (reference: recurrent_model.py:335-336)
