@@ -293,7 +293,7 @@ def convunet_fast_forward(
     return y, nf
 
 
-def _chain(packed_chain, x, aux, h, w, interpret):
+def _chain(packed_chain, x, aux, h, w, interpret, aux_channels=None):
     return fused_conv_chain(
         x,
         packed_chain["ws"],
@@ -304,15 +304,21 @@ def _chain(packed_chain, x, aux, h, w, interpret):
         w_img=w,
         aux=aux,
         emit=packed_chain["emit"],
+        aux_channels=aux_channels,
         interpret=interpret,
     )
 
 
-def _fast_forward_one(net, packed, x, feat, h, w, wl, interpret):
-    xp = to_planar(x, wl, c_pad=packed["in_pad"] - x.shape[-1])
-    auxp = to_planar(feat, wl) if net.feature_rec else None
+def fast_forward_planar(
+    net, packed, xp, aux, h, w, interpret=False, aux_channels=None
+):
+    """Planar core: xp [(H*in_pad), WL] bf16 -> (out [(H*out_pad), WL] bf16,
+    feat [(H*48), WL] bf16 or None).  aux: recurrent features, either
+    [(H*48), WL] or a wider planar tensor with aux_channels=(offset, 48)."""
+    wl = xp.shape[-1]
+    assert wl % 512 == 0, "planar lane count must be a 512-multiple"
 
-    skip0, d0pre = _chain(packed["A"], xp, auxp, h, w, interpret)
+    skip0, d0pre = _chain(packed["A"], xp, aux, h, w, interpret, aux_channels)
     d0 = maxpool2x2_planar(d0pre, h)
 
     skip1, d1pre = _chain(packed["B"], d0, None, h // 2, w // 2, interpret)
@@ -328,7 +334,13 @@ def _fast_forward_one(net, packed, x, feat, h, w, wl, interpret):
 
     up2 = upsample2x_planar(dec1, h // 2, w // 2)
     new_feat, out = _chain(packed["dec2"], up2, skip0, h, w, interpret)
+    return out, (new_feat if net.feature_rec else None)
 
+
+def _fast_forward_one(net, packed, x, feat, h, w, wl, interpret):
+    xp = to_planar(x, wl, c_pad=packed["in_pad"] - x.shape[-1])
+    auxp = to_planar(feat, wl) if net.feature_rec else None
+    out, new_feat = fast_forward_planar(net, packed, xp, auxp, h, w, interpret)
     y = from_planar(out, h, w, c=packed["out_nc"]).astype(jnp.float32)
     nf = (
         from_planar(new_feat, h, w).astype(jnp.float32)

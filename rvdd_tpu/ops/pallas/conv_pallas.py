@@ -85,6 +85,7 @@ def _chain_kernel(
     layer_specs: Sequence[tuple],
     emit: Sequence[int],
     aux_c: int,
+    aux_off: int,
     n_tiles: int,
     out_dtype,
 ):
@@ -155,13 +156,51 @@ def _chain_kernel(
             cp.start()
             cp.wait()
 
+    def dma_in3(dst_ref, src_ref, c, c_off, h_halo):
+        """Rank-3 variant: src [H, Cfull, WL] channel-sliced at c_off; dst
+        scratch [rows, c, WL]."""
+        rows = th + 2 * h_halo
+
+        def cp(src_lo, n, dst_lo):
+            copy = pltpu.make_async_copy(
+                src_ref.at[pl.ds(src_lo, n), pl.ds(c_off, c), :],
+                dst_ref.at[pl.ds(dst_lo, n)],
+                sem,
+            )
+            copy.start()
+            copy.wait()
+
+        if n_tiles == 1:
+            dst_ref[0:h_halo] = jnp.zeros((h_halo, c, wl), dst_ref.dtype)
+            dst_ref[h_halo + th : rows] = jnp.zeros((h_halo, c, wl), dst_ref.dtype)
+            cp(0, th, h_halo)
+            return
+
+        @pl.when(i == 0)
+        def _():
+            dst_ref[0:h_halo] = jnp.zeros((h_halo, c, wl), dst_ref.dtype)
+            cp(0, th + h_halo, h_halo)
+
+        @pl.when(i == n_tiles - 1)
+        def _():
+            dst_ref[th + h_halo : rows] = jnp.zeros((h_halo, c, wl), dst_ref.dtype)
+            cp(i * th - h_halo, th + h_halo, 0)
+
+        @pl.when((i > 0) & (i < n_tiles - 1))
+        def _():
+            cp(i * th - h_halo, rows, 0)
+
     dma_in(win_x, x_ref, cx, halos[0])
     if aux_c:
-        dma_in(win_aux, aux_ref, aux_c, halos[1])
+        dma_in3(win_aux, aux_ref, aux_c, aux_off, halos[1])
 
     def row_slice(ref, r, c, k):
         """[k*c, WL] value at dynamic row r of a [(rows*c), WL] band ref."""
         return ref[pl.ds(pl.multiple_of(r * c, 8), k * c), :]
+
+    def row_slice3(ref, r, c, k):
+        """[k*c, WL] value at dynamic row r of a [rows, c, WL] band ref."""
+        return ref[pl.ds(r, k)].reshape(k * c, wl)
 
     in_band = win_x
     in_c = cx
@@ -183,7 +222,7 @@ def _chain_kernel(
                 slab = row_slice(band_in, r, in_c, 3)
                 if aux_here:
                     slab = jnp.concatenate(
-                        [slab, row_slice(win_aux, r, aux_here, 3)], axis=0
+                        [slab, row_slice3(win_aux, r, aux_here, 3)], axis=0
                     )
                 pat = jnp.concatenate(
                     [
@@ -197,7 +236,7 @@ def _chain_kernel(
                 pat = row_slice(band_in, r, in_c, 1)
                 if aux_here:
                     pat = jnp.concatenate(
-                        [pat, row_slice(win_aux, r, aux_here, 1)], axis=0
+                        [pat, row_slice3(win_aux, r, aux_here, 1)], axis=0
                     )
             y = jax.lax.dot_general(
                 wm, pat, (((1,), (0,)), ((), ())),
@@ -233,7 +272,7 @@ def _chain_kernel(
     jax.jit,
     static_argnames=(
         "acts", "kernel_sizes", "emit", "h_img", "w_img", "tile_h",
-        "out_dtype", "interpret",
+        "out_dtype", "aux_channels", "interpret",
     ),
 )
 def fused_conv_chain(
@@ -248,6 +287,8 @@ def fused_conv_chain(
     emit: Sequence[int] = (),
     tile_h: int = 0,
     out_dtype=jnp.bfloat16,
+    aux_channels=None,  # (offset, n): read n channels at offset from aux's
+    #                     row blocks (aux then holds [(H*Cfull), WL])
     interpret: bool = False,
 ):
     """Run a fused chain of convs; returns one [(H*Cout_l), WL] per emit."""
@@ -256,7 +297,12 @@ def fused_conv_chain(
     wl = x.shape[-1]
     assert x.shape[0] % h_img == 0
     cx = x.shape[0] // h_img
-    aux_c = (aux.shape[0] // h_img) if aux is not None else 0
+    aux_full = (aux.shape[0] // h_img) if aux is not None else 0
+    if aux is not None:
+        aux_off, aux_c = aux_channels if aux_channels else (0, aux_full)
+        aux = aux.reshape(h_img, aux_full, wl)
+    else:
+        aux_off, aux_c = 0, 0
     # HBM refs are (8, 128)-tiled: every DMA row-block offset (row * C) must
     # be a sublane multiple, so all planar channel counts must divide by 8.
     # Callers zero-pad (e.g. RGB input 6 -> 8, output head 3 -> 8).
@@ -303,6 +349,7 @@ def fused_conv_chain(
         layer_specs=tuple(layer_specs),
         emit=emit,
         aux_c=aux_c,
+        aux_off=aux_off,
         n_tiles=n_tiles,
         out_dtype=out_dtype,
     )
@@ -327,7 +374,7 @@ def fused_conv_chain(
     ]
     if aux_c:
         scratch.append(
-            pltpu.VMEM(((tile_h + 2 * halos[1]) * aux_c, wl), jnp.bfloat16)
+            pltpu.VMEM((tile_h + 2 * halos[1], aux_c, wl), jnp.bfloat16)
         )
     for l in range(nl):
         rows = tile_h + 2 * halos[l + 1]

@@ -1,0 +1,320 @@
+"""Pallas TPU bicubic flow-warp v3: row-major planar layout, slice-based taps.
+
+Replaces warp_pallas.py on the fused inference path.  The v2 kernel's cost
+was dominated by dynamic rotates of the full f32 window per displacement
+step (measured: 25 ms at 1080p/51ch even for zero flow, 49 ms for realistic
+pans).  This kernel eliminates rotates entirely:
+
+* activations use the same row-major planar layout as the fused conv
+  chains, ``[H, C, W]`` (C on sublanes, W on lanes) — a vertical tap shift
+  is a *dynamic slice on the untiled leading row axis*, which is free
+  addressing, not data movement;
+* the per-tile mean vertical displacement is absorbed into the window DMA
+  offset, and the global mean horizontal displacement into a one-pass XLA
+  pre-alignment, so the in-kernel sweep only covers the residual;
+* the horizontal residual sweep is STATIC (e in [-E, E]), so every shifted
+  read is a static lane slice folded into the FMA — no rolls;
+* per-pixel tap weights (4 bicubic taps each axis, displacement-bucketed)
+  are precomputed once per row tile into VMEM scratch and shared across all
+  channel groups (v2 recomputed them per group);
+* accumulators live in registers per (8-row x 512-lane) chunk.
+
+Semantics: torch grid_sample bicubic, border padding, align_corners=True
+(matches ops/warp.py:warp and the v2 kernel; reference:
+util/flow_utils.py:70-102).  Approximations, both documented at the call
+sites: displacements clamp to +-max_disp (as v2); the *horizontal residual*
+relative to the global mean clamps to +-e_halo and the *vertical residual*
+relative to the tile mean to a d_max-row band — for TV-L1 video flows these
+clamp nothing (residuals are a few pixels); pathological flow fields
+degrade gracefully to edge-of-band taps.  Forward-only; training uses the
+XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rvdd_tpu.ops.warp import cubic_kernel
+
+
+def _warp_kernel(
+    # grid: (n_tiles, n_groups), g inner
+    ubar_ref,  # SMEM [1] i32
+    win_start_ref,  # SMEM [n_tiles] i32
+    u_ref,  # VMEM [th, wl] f32 block (residual u)
+    v_ref,  # VMEM [th, wl] f32 block
+    x_ref,  # ANY [h, C, wlp] bf16 (pre-aligned)
+    out_ref,  # VMEM [th, K, wl] block
+    wd_ref,  # scratch [d_max, th, wl] f32
+    we_ref,  # scratch [2E+1, th, wl] f32
+    dsc_ref,  # scratch SMEM [2] i32: dmin, n_d
+    win_ref,  # scratch [rows_win, K, wlp] bf16
+    sem,
+    *,
+    th: int,
+    wl: int,
+    wlp: int,
+    l0: int,
+    e_halo: int,
+    d_max: int,
+    rows_win: int,
+    h_img: int,
+    w_img: int,
+    kc: int,
+    rc: int,
+    tc: int,
+    max_disp: int,
+    coeff_a: float,
+):
+    i = pl.program_id(0)
+    g = pl.program_id(1)
+
+    # the window scratch carries th fringe rows on each side: the d-loop
+    # bounds are tile-wide, so a chunk's slice start can precede its own
+    # valid range — fringe rows are read with zero weight, and must be
+    # zeroed once so 0 * garbage can't produce NaN
+    @pl.when((i == 0) & (g == 0))
+    def _zero_fringe():
+        win_ref[0:th] = jnp.zeros((th, kc, wlp), jnp.bfloat16)
+        win_ref[th + rows_win : 2 * th + rows_win] = jnp.zeros(
+            (th, kc, wlp), jnp.bfloat16
+        )
+
+    copy = pltpu.make_async_copy(
+        x_ref.at[pl.ds(win_start_ref[i], rows_win), pl.ds(g * kc, kc), :],
+        win_ref.at[pl.ds(th, rows_win)],
+        sem,
+    )
+    copy.start()
+
+    @pl.when(g == 0)
+    def _build_masks():
+        rows = jax.lax.broadcasted_iota(jnp.int32, (th, wl), 0) + i * th
+        cols = jax.lax.broadcasted_iota(jnp.int32, (th, wl), 1)
+        rowsf = rows.astype(jnp.float32)
+        colsf = cols.astype(jnp.float32)
+
+        v = jnp.clip(v_ref[:, :], -1.0 * max_disp, 1.0 * max_disp)
+        gy = rowsf + v
+        iy = jnp.floor(gy)
+        wy = cubic_kernel(gy - iy, coeff_a)
+        iy = iy.astype(jnp.int32)
+
+        # vertical taps: window-relative displacement, clamped to the DMA'd
+        # window and to a d_max-row band around the tile minimum
+        ws = win_start_ref[i]
+        lo = ws - rows
+        hi = lo + rows_win - 1
+        dys = [
+            jnp.clip(jnp.clip(iy - 1 + k, 0, h_img - 1) - rows, lo, hi)
+            for k in range(4)
+        ]
+        # the displacement box must ignore the zero lane padding of the flow
+        # planes, or it widens to the union with displacement 0
+        valid = cols < w_img
+        dmin = jnp.min(jnp.where(valid, dys[0], 2**30))
+        dmax = jnp.max(jnp.where(valid, dys[3], -(2**30)))
+        n_d = jnp.minimum(dmax - dmin + 1, d_max)
+        dsc_ref[0] = dmin
+        dsc_ref[1] = n_d
+        dys = [jnp.clip(d, dmin, dmin + n_d - 1) for d in dys]
+
+        def d_plane(dd, _):
+            d = dmin + dd
+            plane = (
+                wy[0] * (dys[0] == d)
+                + wy[1] * (dys[1] == d)
+                + wy[2] * (dys[2] == d)
+                + wy[3] * (dys[3] == d)
+            )
+            wd_ref[pl.ds(dd, 1)] = plane[None]
+            return 0
+
+        jax.lax.fori_loop(0, d_max, d_plane, 0)
+
+        # horizontal taps in pre-aligned lane coordinates: residual around
+        # lane offset l0, clamped to +-e_halo
+        ub = ubar_ref[0]
+        u = jnp.clip(
+            u_ref[:, :],
+            -1.0 * max_disp - ub.astype(jnp.float32),
+            1.0 * max_disp - ub.astype(jnp.float32),
+        )
+        gx = colsf + u
+        ix = jnp.floor(gx)
+        wx = cubic_kernel(gx - ix, coeff_a)
+        ix = ix.astype(jnp.int32) + ub  # global integer column
+        exs = [
+            jnp.clip(
+                jnp.clip(ix - 1 + k, 0, w_img - 1) - ub + l0 - cols,
+                l0 - e_halo,
+                l0 + e_halo,
+            )
+            for k in range(4)
+        ]
+        for ee in range(2 * e_halo + 1):
+            e = l0 - e_halo + ee
+            plane = (
+                wx[0] * (exs[0] == e)
+                + wx[1] * (exs[1] == e)
+                + wx[2] * (exs[2] == e)
+                + wx[3] * (exs[3] == e)
+            )
+            we_ref[ee : ee + 1] = plane[None]
+
+    copy.wait()
+
+    dmin = dsc_ref[0]
+    n_d = dsc_ref[1]
+    n_lc = wl // tc
+    n_rc = th // rc
+
+    for lc in range(n_lc):
+        lane0 = lc * tc
+
+        def rc_body(rj, _):
+            r0 = pl.multiple_of(rj * rc, rc)
+            # window row of output row G = i*th + r0 + rr is
+            # (G - win_start) + d; base for rr=0:
+            base = i * th + r0 - win_start_ref[i]
+
+            def d_body(dj, acc):
+                # +th: fringe offset of the window scratch
+                rows_d = win_ref[pl.ds(base + dmin + dj + th, rc)]  # [rc,K,wlp]
+                wd = wd_ref[pl.ds(dj, 1), pl.ds(r0, rc), lane0 : lane0 + tc][0]
+                for ee in range(2 * e_halo + 1):
+                    we = we_ref[ee, pl.ds(r0, rc), lane0 : lane0 + tc]
+                    # column c of the tile reads pre-aligned lane c + e,
+                    # e = l0 - e_halo + ee (matching the we plane)
+                    o = lane0 + l0 - e_halo + ee
+                    seg = rows_d[:, :, o : o + tc]
+                    acc = acc + (wd * we)[:, None, :] * seg.astype(jnp.float32)
+                return acc
+
+            acc = jax.lax.fori_loop(
+                0, n_d, d_body, jnp.zeros((rc, kc, tc), jnp.float32)
+            )
+            if lane0 + tc > w_img:  # zero the pad lanes at the right edge
+                lanes = (
+                    jax.lax.broadcasted_iota(jnp.int32, (1, 1, tc), 2) + lane0
+                )
+                acc = acc * (lanes < w_img)
+            out_ref[pl.ds(r0, rc), :, lane0 : lane0 + tc] = acc.astype(
+                out_ref.dtype
+            )
+            return 0
+
+        jax.lax.fori_loop(0, n_rc, rc_body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "h_img", "w_img", "max_disp", "e_halo", "d_max", "tile_h", "group",
+        "tile_c", "coeff_a", "out_dtype", "interpret",
+    ),
+)
+def warp_planar_pallas(
+    x: jnp.ndarray,  # [(H*C), WL] bf16/f32 planar row-major
+    flow: jnp.ndarray,  # [H, W, 2] f32 (u, v)
+    h_img: int,
+    w_img: int,
+    max_disp: int = 48,
+    e_halo: int = 8,
+    d_max: int = 16,
+    tile_h: int = 72,
+    group: int = 8,
+    tile_c: int = 512,
+    coeff_a: float = -0.75,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Bicubic warp of planar x by flow; returns [(H*C), WL] out_dtype."""
+    hc, wl = x.shape
+    assert hc % h_img == 0
+    c = hc // h_img
+    assert c % 8 == 0, "planar channel count must divide by 8"
+    kc = min(group, c)
+    assert c % kc == 0
+    th = tile_h
+    while h_img % th:
+        th -= 8
+    assert th >= 8 and h_img % th == 0
+    rc = 8
+    tc = min(tile_c, wl)
+    assert wl % tc == 0
+    n_tiles = h_img // th
+    l0 = 64
+    wlp = wl + 128
+    pad_y = max_disp + 3
+    rows_win = min(th + 2 * pad_y, h_img)
+
+    x3 = x.reshape(h_img, c, wl).astype(jnp.bfloat16)
+
+    u = jnp.clip(flow[..., 0], -max_disp, max_disp)
+    v = jnp.clip(flow[..., 1], -max_disp, max_disp)
+    ubar = jnp.round(jnp.mean(u)).astype(jnp.int32)
+    u_res = jnp.pad(u - ubar.astype(jnp.float32), ((0, 0), (0, wl - w_img)))
+    v_pl = jnp.pad(v, ((0, 0), (0, wl - w_img)))
+
+    # horizontal pre-alignment: x_pre[:, :, cpre] = x_edge[cpre - l0 + ubar];
+    # one padded copy + dynamic lane slice (XLA, fused into this jit)
+    left = jnp.repeat(x3[:, :, :1], l0 + max_disp, axis=2)
+    right = jnp.repeat(
+        x3[:, :, w_img - 1 : w_img], wlp + max_disp - l0 - w_img, axis=2
+    )
+    xpad = jnp.concatenate([left, x3[:, :, :w_img], right], axis=2)
+    x_pre = jax.lax.dynamic_slice_in_dim(
+        xpad, max_disp + ubar, wlp, axis=2
+    )
+
+    # per-tile mean vertical displacement -> window DMA offset
+    vbar = jnp.round(jnp.mean(v.reshape(n_tiles, -1), axis=1)).astype(jnp.int32)
+    starts = jnp.arange(n_tiles, dtype=jnp.int32) * th + vbar - pad_y
+    win_start = jnp.clip(starts, 0, h_img - rows_win)
+
+    kern = functools.partial(
+        _warp_kernel,
+        th=th, wl=wl, wlp=wlp, l0=l0, e_halo=e_halo, d_max=d_max,
+        rows_win=rows_win, h_img=h_img, w_img=w_img, kc=kc, rc=rc, tc=tc,
+        max_disp=max_disp, coeff_a=coeff_a,
+    )
+
+    out = pl.pallas_call(
+        kern,
+        grid=(n_tiles, c // kc),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((th, wl), lambda i, g: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, wl), lambda i, g: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (th, kc, wl), lambda i, g: (i, g, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((h_img, c, wl), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((d_max, th, wl), jnp.float32),
+            pltpu.VMEM((2 * e_halo + 1, th, wl), jnp.float32),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.VMEM((rows_win + 2 * th, kc, wlp), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        ubar.reshape(1),
+        win_start,
+        u_res,
+        v_pl,
+        x_pre,
+    )
+    return out.reshape(hc, wl)

@@ -125,9 +125,39 @@ def _warp_frame(cfg: EngineConfig, frame: jnp.ndarray, flow: Optional[jnp.ndarra
     return _warp(cfg, frame, flow)
 
 
+def _planar_wl(w: int) -> int:
+    # the fused net's three resolution levels share one lane schedule
+    return -(-(w + 1) // 512) * 512
+
+
+def _frame_to_planar(x: jnp.ndarray, wl: int, c_to: int) -> jnp.ndarray:
+    """[H, W, C] -> [H, c_to, WL] bf16 (zero channel/lane pad)."""
+    h, w, c = x.shape
+    p = jnp.transpose(x, (0, 2, 1))
+    p = jnp.pad(p, ((0, 0), (0, c_to - c), (0, wl - w)))
+    return p.astype(jnp.bfloat16)
+
+
+def _fused_state_c(cfg: EngineConfig) -> int:
+    # fused planar state row-block: [den 3 | pad 5 | feat 48?]
+    return 8 + (48 if cfg.feature_rec else 0)
+
+
+def _init_state_planar(cfg: EngineConfig, frames: jnp.ndarray) -> RecurrentState:
+    b, _, h, w, _ = frames.shape
+    wl = _planar_wl(w)
+    cf = _fused_state_c(cfg)
+    prev = jax.vmap(lambda f: _frame_to_planar(f, wl, cf))(frames[:, 0])
+    return RecurrentState(prev.reshape(b, h * cf, wl), None)
+
+
 def init_state(cfg: EngineConfig, frames: jnp.ndarray, nil_feat=None) -> RecurrentState:
     """Initial recurrence: previous noisy frames, zero features
     (reference: recurrent_model.py:233-245)."""
+    if cfg.net_impl == "fused":
+        if cfg.d != 1:
+            raise NotImplementedError("net_impl='fused' requires model_patch_depth=2")
+        return _init_state_planar(cfg, frames)
     sd = jnp.bfloat16 if cfg.state_dtype == "bfloat16" else jnp.float32
     lastden = frames[:, : cfg.d].astype(sd)
     feat = None
@@ -154,6 +184,8 @@ def step(
 
     Returns (denoised [B, H, W, C_out], next state).
     """
+    if cfg.net_impl == "fused":
+        return _fast_planar_step(cfg, net, params, state, cur, future, flows)
     d = cfg.d
     sd = jnp.bfloat16 if cfg.state_dtype == "bfloat16" else jnp.float32
     cur = cur.astype(sd)
@@ -188,24 +220,7 @@ def step(
 
     netinput = jnp.concatenate(inputs, axis=-1)
     feat_in = jnp.concatenate(feat_parts, axis=-1) if cfg.feature_rec else None
-    if cfg.net_impl == "fused":
-        from rvdd_tpu.models.fast_unet import (
-            convunet_fast_forward,
-            pack_fast_params,
-            supports_fast_path,
-        )
-
-        if not supports_fast_path(net, netinput.shape[1], netinput.shape[2]):
-            raise ValueError(
-                "net_impl='fused' but this net/shape has no fast path "
-                f"({type(net).__name__}, {netinput.shape})"
-            )
-        # weight packing is a handful of small transposes; under jit it is
-        # traced once and fused into the step
-        packed = pack_fast_params(params, cfg.feature_rec, netinput.shape[-1])
-        denoised, new_feat = convunet_fast_forward(net, packed, netinput, feat_in)
-    else:
-        denoised, new_feat = net.apply({"params": params}, netinput, feat_in)
+    denoised, new_feat = net.apply({"params": params}, netinput, feat_in)
 
     # the --prev_noisy_frame ablation stores the current *noisy* frame
     # instead of the denoised one (reference: recurrent_model.py:335-336)
@@ -217,6 +232,84 @@ def step(
             [state.feat[:, 1:], new_feat.astype(sd)[:, None]], axis=1
         )
     return denoised, RecurrentState(lastden, feat)
+
+
+def _fast_planar_step(
+    cfg: EngineConfig,
+    net,
+    params,
+    state: RecurrentState,
+    cur: jnp.ndarray,  # [B, H, W, 3]
+    future,  # [B, fD, H, W, 3] or None
+    flows,  # [B, D+fD, H, W, 2] or None
+) -> Tuple[jnp.ndarray, RecurrentState]:
+    """TPU fast path: the whole step stays in row-major planar layout —
+    the fused recurrence state ([den | pad | feat] channel blocks) is warped
+    by the row-major Pallas kernel and feeds the fused-conv-chain net
+    directly; only the 3-channel current frame and output cross layouts.
+    Semantics match the generic step (bf16 fast-inference tolerance)."""
+    from rvdd_tpu.models.fast_unet import (
+        fast_forward_planar,
+        from_planar,
+        pack_fast_params,
+        supports_fast_path,
+    )
+    from rvdd_tpu.ops.pallas.warp_rowmajor import warp_planar_pallas
+
+    if cfg.d != 1 or cfg.warp_raw or cfg.no_predemosaic:
+        raise NotImplementedError(
+            "net_impl='fused' supports model_patch_depth=2, RGB pre-demosaic,"
+            " frame-domain warping"
+        )
+    b, h, w, _ = cur.shape
+    if not supports_fast_path(net, h, w):
+        raise ValueError(
+            f"net_impl='fused': no fast path for {type(net).__name__} at {h}x{w}"
+        )
+    wl = _planar_wl(w)
+    cf = _fused_state_c(cfg)
+    in_nc = cfg.network_input_nc
+    in_pad = -(-in_nc // 8) * 8
+    packed = pack_fast_params(params, cfg.feature_rec, in_nc)
+
+    dens = []
+    fused_next = []
+    for bi in range(b):
+        fused = state.lastden[bi]  # [(H*cf), WL] bf16
+        if cfg.no_warp or flows is None:
+            warped = fused
+        else:
+            warped = warp_planar_pallas(fused, flows[bi, 0], h_img=h, w_img=w)
+        w3 = warped.reshape(h, cf, wl)
+        curp = _frame_to_planar(cur[bi], wl, 3)
+        parts = [w3[:, :3], curp]
+        for k in range(cfg.future_patch_depth):
+            fp = _frame_to_planar(future[bi, k], wl, 8)
+            if not cfg.no_warp and flows is not None:
+                fp = warp_planar_pallas(
+                    fp.reshape(h * 8, wl), flows[bi, 1 + k], h_img=h, w_img=w
+                ).reshape(h, 8, wl)
+            parts.append(fp[:, :3])
+        if in_pad > in_nc:
+            parts.append(jnp.zeros((h, in_pad - in_nc, wl), jnp.bfloat16))
+        xp = jnp.concatenate(parts, axis=1).reshape(h * in_pad, wl)
+
+        aux = warped if cfg.feature_rec else None
+        out_p, feat_p = fast_forward_planar(
+            net, packed, xp, aux, h, w,
+            aux_channels=(8, 48) if cfg.feature_rec else None,
+        )
+        dens.append(from_planar(out_p, h, w, c=3).astype(jnp.float32))
+
+        den_part = curp if cfg.prev_noisy_frame else out_p.reshape(h, 8, wl)[:, :3]
+        blocks = [den_part, jnp.zeros((h, 5, wl), jnp.bfloat16)]
+        if cfg.feature_rec:
+            blocks.append(feat_p.reshape(h, 48, wl))
+        fused_next.append(
+            jnp.concatenate(blocks, axis=1).reshape(h * cf, wl).astype(jnp.bfloat16)
+        )
+
+    return jnp.stack(dens), RecurrentState(jnp.stack(fused_next), None)
 
 
 def unrolled_forward(

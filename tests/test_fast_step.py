@@ -1,0 +1,70 @@
+"""Planar fused inference step (warp v3 + fused conv chains) vs the generic
+XLA step (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from rvdd_tpu.models import build_network
+from rvdd_tpu.models.factory import init_network
+from rvdd_tpu.recurrent.engine import EngineConfig, inference_step
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    import jax.experimental.pallas as pl_mod
+    import rvdd_tpu.ops.pallas.conv_pallas as cp
+    import rvdd_tpu.ops.pallas.warp_rowmajor as wr
+
+    for mod in (cp, wr):
+        orig = pl_mod.pallas_call
+
+        def patched(*a, _orig=orig, **k):
+            k["interpret"] = True
+            return _orig(*a, **k)
+
+        monkeypatch.setattr(mod.pl, "pallas_call", patched)
+    yield
+
+
+@pytest.mark.parametrize("feat_rec,fd", [(True, 0), (False, 0), (True, 1)])
+def test_fast_step_matches_generic(feat_rec, fd):
+    h = w = 32
+    in_nc = (2 + fd) * 3
+    arch = "convunet-mode=" + ("fixedfeatures+feat" if feat_rec else "fixedfeatures")
+    net = build_network(arch, in_nc, 3, feat_rec)
+    params = init_network(net, jax.random.PRNGKey(0), (1, h, w, in_nc))
+
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.uniform(-1, 1, (1, 2 + fd, h, w, 3)).astype(np.float32))
+    yy, xx = np.mgrid[0:h, 0:w]
+    fl = np.stack([1.5 + np.sin(xx / 20), -0.8 + 0.5 * np.cos(yy / 9)], -1)
+    flows = jnp.asarray(
+        np.broadcast_to(fl, (1, 1 + fd, h, w, 2)).astype(np.float32).copy()
+    )
+
+    cfg_ref = EngineConfig(
+        model_patch_depth=2, patch_depth=2 + fd, future_patch_depth=fd,
+        feature_rec=feat_rec,
+    )
+    nil = net.nil_features(1, h, w) if feat_rec else None
+    want, wstate = inference_step(cfg_ref, net, params, None, frames, flows, nil)
+
+    cfg_fast = EngineConfig(
+        model_patch_depth=2, patch_depth=2 + fd, future_patch_depth=fd,
+        feature_rec=feat_rec, net_impl="fused", state_dtype="bfloat16",
+    )
+    got, fstate = inference_step(cfg_fast, net, params, None, frames, flows, nil)
+
+    scale = float(jnp.std(want)) + 1e-6
+    err = float(jnp.max(jnp.abs(got - want))) / scale
+    assert err < 0.2, f"normalized max err {err}"
+
+    # second step: recurrence carried through the planar state
+    want2, _ = inference_step(cfg_ref, net, params, wstate, frames, flows, nil)
+    got2, _ = inference_step(cfg_fast, net, params, fstate, frames, flows, nil)
+    err2 = float(jnp.max(jnp.abs(got2 - want2))) / (float(jnp.std(want2)) + 1e-6)
+    assert err2 < 0.3, f"step-2 normalized max err {err2}"
