@@ -82,6 +82,27 @@ def maxpool2x2_planar(p: jnp.ndarray, h: int) -> jnp.ndarray:
     return x.reshape(h // 2 * c, wl // 2)
 
 
+def lane_upsample2x_planar(p: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Column-direction half of the bilinear 2x upsample:
+    [(H*C), WL] -> [(H*C), 2WL], rows unchanged.  The row direction runs
+    inside the dec chain kernels (upsample_input mode) — Mosaic has no cheap
+    lane interleave, XLA does."""
+    c = p.shape[0] // h
+    wl = p.shape[1]
+    x = p.reshape(h, c, wl).astype(jnp.bfloat16)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, wl), 2)
+    edge = jax.lax.dynamic_slice_in_dim(x, w - 1, 1, axis=2)
+    x = jnp.where(col == w, edge, x)
+    left = jnp.concatenate([x[..., :1], x[..., :-1]], axis=2)
+    right = jnp.concatenate([x[..., 1:], x[..., -1:]], axis=2)
+    lanes2 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * wl), 2)
+    mask = (lanes2 < 2 * w).astype(jnp.bfloat16)
+    even = 0.75 * x + 0.25 * left
+    odd = 0.75 * x + 0.25 * right
+    x = jnp.stack([even, odd], axis=-1).reshape(h, c, 2 * wl) * mask
+    return x.reshape(h * c, 2 * wl)
+
+
 def upsample2x_planar(p: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     """Bilinear 2x (torch align_corners=False semantics incl. edge
     replication) on [(H*C), WL] -> [(2H*C), 2WL]; image width w -> 2w,
@@ -293,7 +314,8 @@ def convunet_fast_forward(
     return y, nf
 
 
-def _chain(packed_chain, x, aux, h, w, interpret, aux_channels=None):
+def _chain(packed_chain, x, aux, h, w, interpret, aux_channels=None,
+           upsample_input=False):
     return fused_conv_chain(
         x,
         packed_chain["ws"],
@@ -305,6 +327,7 @@ def _chain(packed_chain, x, aux, h, w, interpret, aux_channels=None):
         aux=aux,
         emit=packed_chain["emit"],
         aux_channels=aux_channels,
+        upsample_input=upsample_input,
         interpret=interpret,
     )
 
@@ -329,11 +352,17 @@ def fast_forward_planar(
     d1_nhwc = from_planar(d1, h // 4, w // 4)[None].astype(jnp.bfloat16)
     m = _middle(packed["params_mid"], d1_nhwc)[0]
 
-    up1 = upsample2x_planar(to_planar(m, wl // 4), h // 4, w // 4)
-    (dec1,) = _chain(packed["dec1"], up1, skip1, h // 2, w // 2, interpret)
-
-    up2 = upsample2x_planar(dec1, h // 2, w // 2)
-    new_feat, out = _chain(packed["dec2"], up2, skip0, h, w, interpret)
+    # the dec chains upsample rows inside the kernel; lanes are upsampled by
+    # the cheap half-res XLA pass (no full-res HBM round trip)
+    m_lanes = lane_upsample2x_planar(to_planar(m, wl // 4), h // 4, w // 4)
+    (dec1,) = _chain(
+        packed["dec1"], m_lanes, skip1, h // 2, w // 2,
+        interpret, upsample_input=True,
+    )
+    dec1_lanes = lane_upsample2x_planar(dec1, h // 2, w // 2)
+    new_feat, out = _chain(
+        packed["dec2"], dec1_lanes, skip0, h, w, interpret, upsample_input=True
+    )
     return out, (new_feat if net.feature_rec else None)
 
 

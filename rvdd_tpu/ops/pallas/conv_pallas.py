@@ -87,6 +87,7 @@ def _chain_kernel(
     aux_c: int,
     aux_off: int,
     n_tiles: int,
+    upsample_input: bool,
     out_dtype,
 ):
     nl = len(layer_specs)
@@ -98,6 +99,7 @@ def _chain_kernel(
     out_refs = refs[n_in + 2 * nl : n_in + 2 * nl + len(emit)]
     scratch = list(refs[n_in + 2 * nl + len(emit) :])
     win_x = scratch.pop(0)
+    win_lo = scratch.pop(0) if upsample_input else None
     win_aux = scratch.pop(0) if aux_c else None
     bands = scratch[:-1]
     sem = scratch[-1]
@@ -190,7 +192,43 @@ def _chain_kernel(
         def _():
             cp(i * th - h_halo, rows, 0)
 
-    dma_in(win_x, x_ref, cx, halos[0])
+    if upsample_input:
+        # x is the lane-upsampled half-ROW-resolution tensor [H/2, Cx, WL]
+        # (the lane direction is upsampled in XLA — Mosaic has no cheap lane
+        # interleave); the kernel does the row direction: torch
+        # align_corners=False out[2j] = .75 low[j] + .25 low[j-1],
+        # out[2j+1] = .75 low[j] + .25 low[j+1], edge-replicated.
+        h_lo = (h_img + 1) // 2
+        h0 = halos[0]
+        rows = th + 2 * h0
+        rows_lo = min(th // 2 + h0 + 2, h_lo)
+        low_start = jnp.maximum(
+            jnp.minimum((i * th - h0 - 1) // 2, h_lo - rows_lo), 0
+        )
+        cp = pltpu.make_async_copy(
+            x_ref.at[pl.ds(low_start, rows_lo)], win_lo, sem
+        )
+        cp.start()
+        cp.wait()
+
+        def build_row(r, carry):
+            g = i * th - h0 + r
+            j = g // 2
+            odd = g - 2 * j  # 0 or 1
+            jn = jnp.clip(j + 2 * odd - 1, 0, h_lo - 1)
+            a = win_lo[pl.ds(jnp.clip(j, 0, h_lo - 1) - low_start, 1)][0]
+            bn = win_lo[pl.ds(jn - low_start, 1)][0]
+            row = 0.75 * a.astype(jnp.float32) + 0.25 * bn.astype(jnp.float32)
+            in_img = ((g >= 0) & (g < h_img)).astype(jnp.float32)
+            row = row * in_img
+            win_x[pl.ds(pl.multiple_of(r * cx, 8), cx), :] = row.astype(
+                jnp.bfloat16
+            )
+            return carry
+
+        jax.lax.fori_loop(0, rows, build_row, 0)
+    else:
+        dma_in(win_x, x_ref, cx, halos[0])
     if aux_c:
         dma_in3(win_aux, aux_ref, aux_c, aux_off, halos[1])
 
@@ -272,7 +310,7 @@ def _chain_kernel(
     jax.jit,
     static_argnames=(
         "acts", "kernel_sizes", "emit", "h_img", "w_img", "tile_h",
-        "out_dtype", "aux_channels", "interpret",
+        "out_dtype", "aux_channels", "upsample_input", "interpret",
     ),
 )
 def fused_conv_chain(
@@ -289,14 +327,23 @@ def fused_conv_chain(
     out_dtype=jnp.bfloat16,
     aux_channels=None,  # (offset, n): read n channels at offset from aux's
     #                     row blocks (aux then holds [(H*Cfull), WL])
+    upsample_input: bool = False,  # x is [(H/2*Cx), WL/2]; the kernel
+    #                     bilinearly upsamples it into the layer-0 band
     interpret: bool = False,
 ):
     """Run a fused chain of convs; returns one [(H*Cout_l), WL] per emit."""
     nl = len(weights)
     emit = tuple(emit) if emit else (nl - 1,)
-    wl = x.shape[-1]
-    assert x.shape[0] % h_img == 0
-    cx = x.shape[0] // h_img
+    if upsample_input:
+        h_lo = (h_img + 1) // 2
+        wl = x.shape[-1]  # lanes already at full resolution
+        assert x.shape[0] % h_lo == 0
+        cx = x.shape[0] // h_lo
+        x = x.reshape(h_lo, cx, wl)
+    else:
+        wl = x.shape[-1]
+        assert x.shape[0] % h_img == 0
+        cx = x.shape[0] // h_img
     aux_full = (aux.shape[0] // h_img) if aux is not None else 0
     if aux is not None:
         aux_off, aux_c = aux_channels if aux_channels else (0, aux_full)
@@ -351,6 +398,7 @@ def fused_conv_chain(
         aux_c=aux_c,
         aux_off=aux_off,
         n_tiles=n_tiles,
+        upsample_input=upsample_input,
         out_dtype=out_dtype,
     )
 
@@ -372,6 +420,9 @@ def fused_conv_chain(
     scratch = [
         pltpu.VMEM(((tile_h + 2 * halos[0]) * cx, wl), jnp.bfloat16),
     ]
+    if upsample_input:
+        rows_lo = min(tile_h // 2 + halos[0] + 2, h_lo)
+        scratch.append(pltpu.VMEM((rows_lo, cx, wl), jnp.bfloat16))
     if aux_c:
         scratch.append(
             pltpu.VMEM((tile_h + 2 * halos[1], aux_c, wl), jnp.bfloat16)

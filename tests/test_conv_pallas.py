@@ -116,3 +116,35 @@ def test_final_1x1():
 
 def test_single_tile_grid():
     run_case(8, 40, (8, 8), ("relu",), (3,), tile_h=8)
+
+
+@pytest.mark.parametrize("h,w", [(16, 64), (24, 100)])
+def test_upsample_input(h, w):
+    """upsample_input mode == XLA planar upsample -> chain."""
+    from rvdd_tpu.models.fast_unet import upsample2x_planar
+
+    rng = np.random.default_rng(3)
+    wl = lane_width(w)
+    assert wl % 2 == 0
+    h2, w2 = h // 2, w // 2
+    xlo = jnp.asarray(rng.standard_normal((1, h2, w2, 8)).astype(np.float32))
+    wt = jnp.asarray((rng.standard_normal((3, 3, 8, 8)) * 0.2).astype(np.float32))
+    bt = jnp.asarray((rng.standard_normal(8) * 0.1).astype(np.float32))
+
+    from rvdd_tpu.models.fast_unet import lane_upsample2x_planar
+
+    xlo_p = to_planar(xlo, wl // 2)
+    up_ref = upsample2x_planar(xlo_p.astype(jnp.bfloat16), h2, w2)
+    (want,) = fused_conv_chain(
+        up_ref, (pack_weight(wt),), (bt,), ("relu",), (3,),
+        h_img=h, w_img=w, tile_h=8, out_dtype=jnp.float32, interpret=True,
+    )
+    x_lanes = lane_upsample2x_planar(xlo_p.astype(jnp.bfloat16), h2, w2)
+    (got,) = fused_conv_chain(
+        x_lanes, (pack_weight(wt),), (bt,), ("relu",), (3,),
+        h_img=h, w_img=w, tile_h=8, out_dtype=jnp.float32,
+        upsample_input=True, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=0.05, rtol=0.05
+    )
