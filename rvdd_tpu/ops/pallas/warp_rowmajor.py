@@ -52,7 +52,7 @@ def _warp_kernel(
     out_ref,  # VMEM [th, K, wl] block
     wd_ref,  # scratch [d_max, th, wl] f32
     we_ref,  # scratch [2E+1, th, wl] f32
-    dsc_ref,  # scratch SMEM [2] i32: dmin, n_d
+    dsc_ref,  # scratch SMEM [2 + 2E+1] i32: dmin, n_d, per-e nonzero flags
     win_ref,  # scratch [rows_win, K, wlp] bf16
     sem,
     *,
@@ -135,7 +135,7 @@ def _warp_kernel(
             wd_ref[pl.ds(dd, 1)] = plane[None]
             return 0
 
-        jax.lax.fori_loop(0, d_max, d_plane, 0)
+        jax.lax.fori_loop(0, n_d, d_plane, 0)
 
         # horizontal taps in pre-aligned lane coordinates: residual around
         # lane offset l0, clamped to +-e_halo
@@ -187,6 +187,10 @@ def _warp_kernel(
                 # +th: fringe offset of the window scratch
                 rows_d = win_ref[pl.ds(base + dmin + dj + th, rc)]  # [rc,K,wlp]
                 wd = wd_ref[pl.ds(dj, 1), pl.ds(r0, rc), lane0 : lane0 + tc][0]
+                # NOTE: a per-iteration lax.cond skip of unused displacements
+                # was measured NET NEGATIVE (realistic flow 19 -> 37 ms):
+                # conds block Mosaic pipelining. The adaptive e_halo switch
+                # in the wrapper handles sweep narrowing instead.
                 for ee in range(2 * e_halo + 1):
                     we = we_ref[ee, pl.ds(r0, rc), lane0 : lane0 + tc]
                     # column c of the tile reads pre-aligned lane c + e,
@@ -251,7 +255,10 @@ def warp_planar_pallas(
     n_tiles = h_img // th
     l0 = 64
     wlp = wl + 128
-    pad_y = max_disp + 3
+    # the window only needs to cover the d_max-row displacement band around
+    # the tile mean (per-pixel taps clamp into the window anyway); a
+    # max_disp-sized halo would make the DMA 2.4x larger for nothing
+    pad_y = d_max + 3
     rows_win = min(th + 2 * pad_y, h_img)
 
     x3 = x.reshape(h_img, c, wl).astype(jnp.bfloat16)
@@ -278,43 +285,57 @@ def warp_planar_pallas(
     starts = jnp.arange(n_tiles, dtype=jnp.int32) * th + vbar - pad_y
     win_start = jnp.clip(starts, 0, h_img - rows_win)
 
-    kern = functools.partial(
-        _warp_kernel,
-        th=th, wl=wl, wlp=wlp, l0=l0, e_halo=e_halo, d_max=d_max,
-        rows_win=rows_win, h_img=h_img, w_img=w_img, kc=kc, rc=rc, tc=tc,
-        max_disp=max_disp, coeff_a=coeff_a,
-    )
+    def call(eh):
+        kern = functools.partial(
+            _warp_kernel,
+            th=th, wl=wl, wlp=wlp, l0=l0, e_halo=eh, d_max=d_max,
+            rows_win=rows_win, h_img=h_img, w_img=w_img, kc=kc, rc=rc, tc=tc,
+            max_disp=max_disp, coeff_a=coeff_a,
+        )
+        return pl.pallas_call(
+            kern,
+            grid=(n_tiles, c // kc),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((th, wl), lambda i, g: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((th, wl), lambda i, g: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (th, kc, wl), lambda i, g: (i, g, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((h_img, c, wl), out_dtype),
+            scratch_shapes=[
+                pltpu.VMEM((d_max, th, wl), jnp.float32),
+                pltpu.VMEM((2 * eh + 1, th, wl), jnp.float32),
+                pltpu.SMEM((2,), jnp.int32),
+                pltpu.VMEM((rows_win + 2 * th, kc, wlp), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA,
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=120 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(
+            ubar.reshape(1),
+            win_start,
+            u_res,
+            v_pl,
+            x_pre,
+        )
 
-    out = pl.pallas_call(
-        kern,
-        grid=(n_tiles, c // kc),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((th, wl), lambda i, g: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((th, wl), lambda i, g: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=pl.BlockSpec(
-            (th, kc, wl), lambda i, g: (i, g, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((h_img, c, wl), out_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((d_max, th, wl), jnp.float32),
-            pltpu.VMEM((2 * e_halo + 1, th, wl), jnp.float32),
-            pltpu.SMEM((2,), jnp.int32),
-            pltpu.VMEM((rows_win + 2 * th, kc, wlp), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA,
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(
-        ubar.reshape(1),
-        win_start,
-        u_res,
-        v_pl,
-        x_pre,
-    )
+    # adaptive sweep width: the per-pixel lane displacements are exact up to
+    # +-e_halo of the global mean; pick the narrowest kernel that covers this
+    # flow's residual (XLA-level switch — in-kernel conds kill pipelining)
+    halos = sorted({h for h in (2, 4, e_halo) if h <= e_halo})
+    if len(halos) == 1 or interpret:
+        out = call(e_halo)
+    else:
+        fu = jnp.floor(u_res[:, :w_img])
+        e_need = jnp.maximum(jnp.max(fu) + 2.0, -(jnp.min(fu) - 1.0))
+        idx = sum(
+            (e_need > jnp.float32(h)).astype(jnp.int32) for h in halos[:-1]
+        )
+        out = jax.lax.switch(idx, [lambda e=e: call(e) for e in halos])
     return out.reshape(hc, wl)

@@ -23,7 +23,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 OUR_FLAGS = {
     "non_recurrent-convunet-no_warp": ["--netDenoiser", "convunet-mode=fixedfeatures", "--no_warp", "--patch_depth", "2"],
+    "non_recurrent-convunet-no_warp-future": ["--netDenoiser", "convunet-mode=fixedfeatures", "--no_warp", "--patch_depth", "2", "--future_patch_depth", "1"],
     "non_recurrent-convunet": ["--netDenoiser", "convunet-mode=fixedfeatures", "--patch_depth", "2"],
+    "non_recurrent-convunet-future": ["--netDenoiser", "convunet-mode=fixedfeatures", "--patch_depth", "2", "--future_patch_depth", "1"],
     "recurrent-convunet": ["--netDenoiser", "convunet-mode=fixedfeatures"],
     "recurrent-convunet-future": ["--netDenoiser", "convunet-mode=fixedfeatures", "--future_patch_depth", "1"],
     "recurrent-convunet+feat": ["--netDenoiser", "convunet-mode=fixedfeatures+feat", "--feature_rec"],

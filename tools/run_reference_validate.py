@@ -108,6 +108,14 @@ VARIANTS = {
     "non_recurrent-convunet": dict(
         net="convunet-mode=fixedfeatures", args=["--patch_depth", "2"]
     ),
+    "non_recurrent-convunet-no_warp-future": dict(
+        net="convunet-mode=fixedfeatures",
+        args=["--no_warp", "--patch_depth", "2", "--future_patch_depth", "1"],
+    ),
+    "non_recurrent-convunet-future": dict(
+        net="convunet-mode=fixedfeatures",
+        args=["--patch_depth", "2", "--future_patch_depth", "1"],
+    ),
     "recurrent-convunet": dict(net="convunet-mode=fixedfeatures", args=[]),
     "recurrent-convunet-future": dict(
         net="convunet-mode=fixedfeatures", args=["--future_patch_depth", "1"]
