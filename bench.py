@@ -62,7 +62,7 @@ def main():
         model_patch_depth=2, patch_depth=2 + fd, future_patch_depth=fd,
         feature_rec=feat, warp_impl="xla" if args.exact else "pallas",
         state_dtype="float32" if args.exact else "bfloat16",
-        net_impl="fused" if ("convunet" in args.model and not args.exact) else "xla",
+        net_impl="xla" if args.exact else "fused",
     )
     net_dtype = None if args.exact else jnp.bfloat16
     kw = {}

@@ -52,6 +52,9 @@ class Options:
     warp_method: str = "tvl1"
     videos: str | None = None
     dataset_mode: str = "axel4rec"
+    #: validation dataset registry name (reference: recurrent_model.py:27
+    #: injects val_dataset_mode='infer4rec')
+    val_dataset_mode: str = "infer4rec"
     batch_size: int = 2
     patch_width: int = 136
     patch_stride: int = 3

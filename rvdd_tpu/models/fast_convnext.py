@@ -1,0 +1,245 @@
+"""TPU fast-path forward for ConvNeXtUNet ('newunet'): fused block chains.
+
+Mirrors models/fast_unet.py for the ConvNeXt architecture (reference:
+networks/new_unet.py:207-430): full- and half-resolution levels run as
+fused Pallas ConvNeXt-block chains (ops/pallas/convnext_pallas.py) on
+row-major planar activations, the quarter/eighth middle runs the flax
+modules in XLA, pooling stays planar, and decoder upsampling
+(align_corners=True here, unlike convunet) is split into an MXU matmul
+lane resize plus in-kernel row interpolation.
+
+Numerics: bf16 + tanh-approx GELU — the documented fast-inference mode
+(the exact erf path stays on XLA for validation parity).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rvdd_tpu.models.convnext_unet import ConvNeXtUNet, NConvNeXtBlock, ConvNeXtBlock
+from rvdd_tpu.models.fast_unet import (
+    from_planar,
+    maxpool2x2_planar,
+    to_planar,
+)
+from rvdd_tpu.ops.pallas.convnext_pallas import fused_convnext_chain, pack_block
+
+F = 48
+
+
+def supports_fast_path_cnx(net: ConvNeXtUNet, h: int, w: int) -> bool:
+    return (
+        isinstance(net, ConvNeXtUNet)
+        and net.filters == F
+        and net.kernel_size == 7
+        and net.depth == 4
+        and net.n_blocks_encoder == 2
+        and net.n_blocks_decoder == 2
+        and net.n_blocks_bottleneck == 2
+        and net.n_blocks_postprocessing == 2
+        and net.downsampling_mode == "maxpool"
+        and net.upsampling_mode == "bilinear"
+        and net.fusion_mode == "cat"
+        and h % 8 == 0
+        and w % 8 == 0
+        and h >= 64
+        and w >= 64
+    )
+
+
+def lane_resize2x_ac(p: jnp.ndarray, w_lo: int) -> jnp.ndarray:
+    """[(R), WL_lo] -> [(R), 2*WL_lo] bilinear align_corners=True in the lane
+    direction, as one MXU matmul with a constant resize matrix."""
+    wl_lo = p.shape[-1]
+    wl = 2 * wl_lo
+    w_out = 2 * w_lo
+    m = np.zeros((wl_lo, wl), np.float32)
+    for k in range(w_out):
+        src = k * (w_lo - 1) / (w_out - 1)
+        j0 = int(np.floor(src))
+        t = src - j0
+        m[j0, k] += 1.0 - t
+        if j0 + 1 < w_lo:
+            m[j0 + 1, k] += t
+    mm = jnp.asarray(m).astype(jnp.bfloat16)
+    return (p.astype(jnp.bfloat16) @ mm).astype(jnp.bfloat16)
+
+
+def pack_fast_cnx(params, feature_rec: bool, in_nc: int):
+    in_pad = -(-in_nc // 8) * 8
+    packed = {"in_pad": in_pad}
+
+    def blk(path, cin):
+        p = params
+        for k in path:
+            p = p[k]
+        return pack_block(p, cin)
+
+    chains = {}
+    # chain A: pre block (feat variant) + enc0 x2 (block0 takes 96 via proj)
+    if feature_rec:
+        items = [blk(("pre", "block0"), in_pad),
+                 blk(("enc_conv0", "block0"), 2 * F),
+                 blk(("enc_conv0", "block1"), F)]
+    else:
+        items = [blk(("enc_conv0", "block0"), in_pad),
+                 blk(("enc_conv0", "block1"), F)]
+    chains["A"] = dict(
+        blocks=tuple(tuple(a) for a, _ in items),
+        hps=tuple(hp for _, hp in items),
+        emit=(len(items) - 1,),
+    )
+    # chain B: enc_down0 + enc1 x2 (all 48-in)
+    items = [blk(("enc_down0",), F), blk(("enc_conv1", "block0"), F),
+             blk(("enc_conv1", "block1"), F)]
+    chains["B"] = dict(
+        blocks=tuple(tuple(a) for a, _ in items),
+        hps=tuple(hp for _, hp in items),
+        emit=(2,),
+    )
+    # dec1 chain (half res): dec_up1 + [skip1] dec_conv1 x2 (block0 proj 96)
+    items = [blk(("dec_up1",), F), blk(("dec_conv1", "block0"), 2 * F),
+             blk(("dec_conv1", "block1"), F)]
+    chains["dec1"] = dict(
+        blocks=tuple(tuple(a) for a, _ in items),
+        hps=tuple(hp for _, hp in items),
+        emit=(2,),
+    )
+    # dec2 chain (full res): dec_up2 + [skip0] dec_conv2 x2 + post x2 + head
+    items = [blk(("dec_up2",), F), blk(("dec_conv2", "block0"), 2 * F),
+             blk(("dec_conv2", "block1"), F), blk(("post", "block0"), F),
+             blk(("post", "block1"), F)]
+    head_k = params["post_final"]["kernel"].astype(jnp.float32).reshape(F, -1)
+    out_nc = head_k.shape[-1]
+    out_pad = -(-out_nc // 8) * 8
+    head_w = jnp.pad(jnp.transpose(head_k, (1, 0)), ((0, out_pad - out_nc), (0, 0)))
+    head_b = jnp.pad(
+        params["post_final"]["bias"].astype(jnp.float32), (0, out_pad - out_nc)
+    )
+    chains["dec2"] = dict(
+        blocks=tuple(tuple(a) for a, _ in items),
+        hps=tuple(hp for _, hp in items),
+        emit=(4,),
+        tail=((head_w, head_b),),
+        tail_couts=(out_pad,),
+    )
+    packed["chains"] = chains
+    packed["out_nc"] = out_nc
+    packed["out_pad"] = out_pad
+    packed["params_mid"] = {
+        k: jax.tree_util.tree_map(lambda a: a.astype(jnp.float32), params[k])
+        for k in (
+            "enc_down1", "enc_conv2", "enc_down2", "enc_conv3", "bottleneck",
+            "dec_up0", "dec_conv0",
+        )
+    }
+    return packed
+
+
+def _middle_cnx(net, params_mid, d1):
+    """Quarter/eighth-res section with the flax modules (XLA, bf16):
+    input [1, H/4, W/4, 48] (the level-2 input) -> dec_conv0 output."""
+    from rvdd_tpu.ops.resize import maxpool2x2, upsample2x_bilinear
+    from rvdd_tpu.models.unet import zero_pad_to
+
+    dt = jnp.bfloat16
+    fa = True
+
+    def block(name, cin, x):
+        return ConvNeXtBlock(cin, F, 7, net.layerscale_init, dt, fa).apply(
+            {"params": params_mid[name]}, x
+        )
+
+    def nblock(name, cin, n, x):
+        return NConvNeXtBlock(cin, F, n, 7, net.layerscale_init, dt, fa).apply(
+            {"params": params_mid[name]}, x
+        )
+
+    h = block("enc_down1", F, d1)
+    skip2 = nblock("enc_conv2", F, 2, h)
+    h = maxpool2x2(skip2)
+    h = block("enc_down2", F, h)
+    h = nblock("enc_conv3", F, 2, h)
+    h = nblock("bottleneck", F, 2, h)
+    h = upsample2x_bilinear(h, align_corners=True)
+    h = block("dec_up0", F, h)
+    h = zero_pad_to(h, skip2.shape[-3], skip2.shape[-2])
+    h = jnp.concatenate([h, skip2], axis=-1)
+    h = nblock("dec_conv0", 2 * F, 2, h)
+    return h
+
+
+def _chain(ch, x, aux, h, w, interpret, aux_channels=None, upsample=False,
+           tile_h=0):
+    return fused_convnext_chain(
+        x,
+        ch["blocks"],
+        ch["hps"],
+        h_img=h,
+        w_img=w,
+        aux=aux,
+        emit=ch["emit"],
+        tail=ch.get("tail", ()),
+        tail_couts=ch.get("tail_couts", ()),
+        aux_channels=aux_channels,
+        upsample_input=upsample,
+        tile_h=tile_h,
+        interpret=interpret,
+    )
+
+
+def fast_forward_planar_cnx(
+    net, packed, xp, aux, h, w, interpret=False, aux_channels=None
+):
+    """Planar core: xp [(H*in_pad), WL] bf16 -> (out [(H*out_pad), WL],
+    feat [(H*48), WL] or None)."""
+    wl = xp.shape[-1]
+    assert wl % 512 == 0
+    ch = packed["chains"]
+
+    (skip0,) = _chain(ch["A"], xp, aux, h, w, interpret, aux_channels)
+    d0 = maxpool2x2_planar(skip0, h)
+    (skip1,) = _chain(ch["B"], d0, None, h // 2, w // 2, interpret)
+    d1 = maxpool2x2_planar(skip1, h // 2)
+
+    d1_nhwc = from_planar(d1, h // 4, w // 4)[None].astype(jnp.bfloat16)
+    m = _middle_cnx(net, packed["params_mid"], d1_nhwc)[0]
+
+    m_lanes = lane_resize2x_ac(to_planar(m, wl // 4), w // 4)
+    (dec1,) = _chain(
+        ch["dec1"], m_lanes, skip1, h // 2, w // 2, interpret, upsample=True
+    )
+    dec1_lanes = lane_resize2x_ac(dec1, w // 2)
+    feat_p, out = _chain(
+        ch["dec2"], dec1_lanes, skip0, h, w, interpret,
+        aux_channels=None, upsample=True,
+    )
+    return out, (feat_p if net.feature_rec else None)
+
+
+def convnext_fast_forward(
+    net: ConvNeXtUNet,
+    packed,
+    x: jnp.ndarray,  # [B, H, W, in_nc]
+    feat: Optional[jnp.ndarray] = None,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """NHWC wrapper (tests); the engine uses fast_forward_planar_cnx."""
+    b, h, w, _ = x.shape
+    wl = -(-(w + 1) // 512) * 512
+    outs, feats = [], []
+    for bi in range(b):
+        xp = to_planar(x[bi], wl, c_pad=packed["in_pad"] - x.shape[-1])
+        auxp = to_planar(feat[bi], wl) if net.feature_rec else None
+        o, f = fast_forward_planar_cnx(net, packed, xp, auxp, h, w, interpret)
+        outs.append(from_planar(o, h, w, c=packed["out_nc"]).astype(jnp.float32))
+        feats.append(
+            from_planar(f, h, w).astype(jnp.float32) if f is not None else None
+        )
+    y = jnp.stack(outs)
+    nf = jnp.stack(feats) if net.feature_rec else None
+    return y, nf

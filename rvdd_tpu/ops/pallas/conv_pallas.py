@@ -376,8 +376,26 @@ def fused_conv_chain(
         halos[l] = halos[l + 1] + kernel_sizes[l] // 2
 
     if tile_h <= 0:
+        # largest tile whose band scratch fits the VMEM budget
+        budget = 88 * 1024 * 1024
+
+        def est(t):
+            rows = (t + 2 * halos[0]) * cx
+            if upsample_input:
+                rows += (t // 2 + halos[0] + 2) * cx
+            if aux_c:
+                rows += (t + 2 * halos[1]) * aux_c
+            for l in range(nl):
+                rows += (t + 2 * halos[l + 1]) * layer_specs[l][1]
+            rows += 2 * t * sum(layer_specs[l][1] for l in emit)
+            return rows * wl * 2
+
         tile_h = next(
-            (t for t in (36, 32, 30, 24, 20, 18, 16, 12, 8) if h_img % t == 0),
+            (
+                t
+                for t in (72, 60, 54, 48, 40, 36, 32, 30, 24, 20, 18, 16, 12, 8)
+                if h_img % t == 0 and t > halos[0] and est(t) < budget
+            ),
             0,
         )
         if tile_h == 0:
@@ -443,7 +461,7 @@ def fused_conv_chain(
         out_shape=out_shapes,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024,
+            vmem_limit_bytes=127 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*in_arrays, *wms, *bms)

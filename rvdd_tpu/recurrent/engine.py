@@ -248,13 +248,10 @@ def _fast_planar_step(
     by the row-major Pallas kernel and feeds the fused-conv-chain net
     directly; only the 3-channel current frame and output cross layouts.
     Semantics match the generic step (bf16 fast-inference tolerance)."""
-    from rvdd_tpu.models.fast_unet import (
-        fast_forward_planar,
-        from_planar,
-        pack_fast_params,
-        supports_fast_path,
-    )
+    from rvdd_tpu.models.fast_unet import from_planar
     from rvdd_tpu.ops.pallas.warp_rowmajor import warp_planar_pallas
+    from rvdd_tpu.models.unet import ConvUNet
+    from rvdd_tpu.models.convnext_unet import ConvNeXtUNet
 
     if cfg.d != 1 or cfg.warp_raw or cfg.no_predemosaic:
         raise NotImplementedError(
@@ -262,6 +259,18 @@ def _fast_planar_step(
             " frame-domain warping"
         )
     b, h, w, _ = cur.shape
+    if isinstance(net, ConvNeXtUNet):
+        from rvdd_tpu.models.fast_convnext import (
+            fast_forward_planar_cnx as fast_forward_planar,
+            pack_fast_cnx as pack_fast_params,
+            supports_fast_path_cnx as supports_fast_path,
+        )
+    else:
+        from rvdd_tpu.models.fast_unet import (
+            fast_forward_planar,
+            pack_fast_params,
+            supports_fast_path,
+        )
     if not supports_fast_path(net, h, w):
         raise ValueError(
             f"net_impl='fused': no fast path for {type(net).__name__} at {h}x{w}"

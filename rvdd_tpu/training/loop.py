@@ -69,7 +69,9 @@ def build_validation(opt: Options) -> InferenceDataset:
             opt.val_dataroot, opt.nFolder, opt.flowFolder, opt.warp_method,
             persist=opt.persist_flows,
         )
-    return InferenceDataset(
+    from rvdd_tpu.registry import get_dataset
+
+    return get_dataset(opt.val_dataset_mode)(
         opt.val_dataroot,
         opt.gt_folder_for_mode(),
         opt.nFolder,
@@ -397,7 +399,9 @@ def train(opt: Options) -> None:
             opt.dataroot, opt.nFolder, opt.flowFolder, opt.warp_method,
             persist=opt.persist_flows,
         )
-    train_ds = TrainWindowDataset(
+    from rvdd_tpu.registry import get_dataset
+
+    train_ds = get_dataset(opt.dataset_mode)(
         opt.dataroot,
         opt.gt_folder_for_mode(),
         opt.nFolder,
