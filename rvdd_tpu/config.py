@@ -102,6 +102,9 @@ class Options:
     mesh_shape: str = "data"  # data-parallel over all devices
     exact_precision: bool = True  # fp32-exact convs (parity); False = bf16 MXU
     warp_impl: str = "auto"  # auto | xla | pallas (inference warping)
+    #: 'xla' (exact, any backend) | 'fused' (TPU fast inference: planar
+    #: Pallas step — bf16, tanh GELU; see BENCH notes for measured PSNR)
+    net_impl: str = "xla"
     profile_dir: str = ""  # capture a jax.profiler trace of a few steps
     distributed: bool = False  # multi-host: call jax.distributed.initialize()
 
@@ -136,6 +139,8 @@ class Options:
             raw_gt=self.raw_gt,
             lambda_l1=self.lambda_L1,
             warp_impl=self.resolve_warp_impl(),
+            net_impl=self.net_impl,
+            state_dtype="bfloat16" if self.net_impl == "fused" else "float32",
         )
 
     def resolve_warp_impl(self) -> str:

@@ -279,6 +279,10 @@ def _chain_kernel(
             y = jax.lax.dot_general(
                 wm, pat, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                # the fast path is bf16 by design: pin the MXU precision so a
+                # global jax_default_matmul_precision='highest' (the exact-
+                # parity mode) can't force an unsupported fp32-contract
+                precision=jax.lax.Precision.DEFAULT,
             )
             y = y + bias
             if act == "relu":

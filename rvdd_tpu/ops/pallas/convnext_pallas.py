@@ -249,7 +249,8 @@ def _cnx_kernel(
         if proj_w is not None:
 
             def proj_row(r, carry, *, band_in=band_in, in_c=in_c,
-                         aux_here=aux_here, proj_w=proj_w, proj_b=proj_b):
+                         aux_here=aux_here, proj_w=proj_w, proj_b=proj_b,
+                         h_in=h_in):
                 xrow = band_in[pl.ds(pl.multiple_of(r * in_c, 8), in_c), :]
                 if aux_here:
                     arow = win_aux[pl.ds(r, 1)].reshape(aux_here, wl)
@@ -257,9 +258,14 @@ def _cnx_kernel(
                 y = jax.lax.dot_general(
                     proj_w, xrow, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
                 ) + proj_b
+                # zero-pad semantics: halo rows outside the image must stay
+                # zero (the bias would otherwise leak into the dw borders)
+                g = i * th + r - h_in
+                in_img = ((g >= 0) & (g < h_img)).astype(jnp.float32)
                 pband[pl.ds(pl.multiple_of(r * F, 8), F), :] = (
-                    y * lane_mask
+                    y * (lane_mask * in_img)
                 ).astype(jnp.bfloat16)
                 return carry
 
@@ -294,11 +300,19 @@ def _cnx_kernel(
             h1 = jax.lax.dot_general(
                 pw1, hn.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                # the fast path is bf16 by design: pin the MXU precision so a
+                # global jax_default_matmul_precision='highest' (the exact-
+                # parity mode) can't force an unsupported fp32-contract
+                precision=jax.lax.Precision.DEFAULT,
             ) + pw1_b
             h1 = jax.nn.gelu(h1, approximate=True)
             h2 = jax.lax.dot_general(
                 pw2, h1.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                # the fast path is bf16 by design: pin the MXU precision so a
+                # global jax_default_matmul_precision='highest' (the exact-
+                # parity mode) can't force an unsupported fp32-contract
+                precision=jax.lax.Precision.DEFAULT,
             ) + pw2_b
             xc = src_band[
                 pl.ds(pl.multiple_of((r + r_half) * F, 8), F), :
@@ -338,6 +352,7 @@ def _cnx_kernel(
                 y = jax.lax.dot_general(
                     tw, xrow, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
                 ) + tb
                 y = y * lane_mask
                 out_ref[pl.ds(pl.multiple_of(r * cout, 8), cout), :] = (

@@ -41,8 +41,8 @@ def test_fast_forward_parity(feat_rec, in_nc):
     assert got_y.shape == want_y.shape
     scale = float(jnp.std(want_y)) + 1e-6
     err = float(jnp.max(jnp.abs(got_y - want_y))) / scale
-    assert err < 0.2, f"normalized max err {err}"
+    assert err < 0.08, f"normalized max err {err}"
     if feat_rec:
         fscale = float(jnp.std(want_f)) + 1e-6
         ferr = float(jnp.max(jnp.abs(got_f - want_f))) / fscale
-        assert ferr < 0.2, f"feat normalized max err {ferr}"
+        assert ferr < 0.08, f"feat normalized max err {ferr}"
