@@ -54,24 +54,15 @@ def lane_width(w: int) -> int:
 
 def pack_weight(w: jnp.ndarray, cin_split: Optional[int] = None) -> jnp.ndarray:
     """[3, 3, Cin, Cout] HWIO -> [Cout, 9*Cin] matching the kernel's patch
-    order: dx-major, then (dy, cin).
+    order: (dy, dx, ci) — HWIO's natural flattening.
 
-    cin_split: if the chain concatenates a second input after layer 0, the
-    kernel builds the slab as [conv rows (dy, cـa) ; aux rows (dy, c_b)] per
-    dx block — reorder the cin dimension accordingly.
+    cin_split is accepted for API compatibility but no longer needed: the
+    kernel builds each (dy, dx) patch piece as [conv channels ; aux
+    channels], which is exactly the weight's cin order when the graph
+    concatenates the aux tensor after the conv output.
     """
     kh, kw, cin, cout = w.shape
-    if cin_split is None:
-        # [dy, dx, ci, co] -> [dx, dy, ci, co]
-        wm = jnp.transpose(w, (1, 0, 2, 3)).reshape(kh * kw * cin, cout)
-    else:
-        ca = cin_split
-        wa = jnp.transpose(w[:, :, :ca], (1, 0, 2, 3)).reshape(kw, kh * ca, cout)
-        wb = jnp.transpose(w[:, :, ca:], (1, 0, 2, 3)).reshape(
-            kw, kh * (cin - ca), cout
-        )
-        wm = jnp.concatenate([wa, wb], axis=1).reshape(kh * kw * cin, cout)
-    return jnp.transpose(wm, (1, 0))
+    return jnp.transpose(w.reshape(kh * kw * cin, cout), (1, 0))
 
 
 def _chain_kernel(
@@ -253,37 +244,7 @@ def _chain_kernel(
         aux_here = aux_c if l == 1 and aux_c else 0
         band_in = in_band  # capture for the closure
 
-        def row_body(r, carry, *, band_in=band_in, in_c=in_c, ks=ks,
-                     aux_here=aux_here, wm=wm, bias=bias, act=act,
-                     cout=cout, out_band=out_band, h_out=h_out):
-            if ks == 3:
-                slab = row_slice(band_in, r, in_c, 3)
-                if aux_here:
-                    slab = jnp.concatenate(
-                        [slab, row_slice3(win_aux, r, aux_here, 3)], axis=0
-                    )
-                pat = jnp.concatenate(
-                    [
-                        jnp.concatenate([slab[:, -1:], slab[:, :-1]], axis=1),
-                        slab,
-                        jnp.concatenate([slab[:, 1:], slab[:, :1]], axis=1),
-                    ],
-                    axis=0,
-                )
-            else:  # 1x1
-                pat = row_slice(band_in, r, in_c, 1)
-                if aux_here:
-                    pat = jnp.concatenate(
-                        [pat, row_slice3(win_aux, r, aux_here, 1)], axis=0
-                    )
-            y = jax.lax.dot_general(
-                wm, pat, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                # the fast path is bf16 by design: pin the MXU precision so a
-                # global jax_default_matmul_precision='highest' (the exact-
-                # parity mode) can't force an unsupported fp32-contract
-                precision=jax.lax.Precision.DEFAULT,
-            )
+        def emit_y(y, r, *, bias, act, cout, out_band, h_out):
             y = y + bias
             if act == "relu":
                 y = jnp.maximum(y, 0.0)
@@ -296,9 +257,87 @@ def _chain_kernel(
             out_band[pl.ds(pl.multiple_of(r * cout, 8), cout), :] = (
                 y.astype(jnp.bfloat16)
             )
-            return carry
 
-        jax.lax.fori_loop(0, rows_out, row_body, 0)
+        def dot(wm, pat):
+            return jax.lax.dot_general(
+                wm, pat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                # the fast path is bf16 by design: pin the MXU precision so a
+                # global jax_default_matmul_precision='highest' (the exact-
+                # parity mode) can't force an unsupported fp32-contract
+                precision=jax.lax.Precision.DEFAULT,
+            )
+
+        if ks == 3:
+            # two output rows per iteration share a dy-major patch stack:
+            # pat4 rows = (dy 0..3, dx -1..1, ci); row r contracts rows
+            # [0, 9C), row r+1 rows [3C, 12C) — a 33% patch-build saving
+            c_full = in_c + aux_here
+
+            def row_body2(rr, carry, *, band_in=band_in, in_c=in_c,
+                          aux_here=aux_here, wm=wm, bias=bias, act=act,
+                          cout=cout, out_band=out_band, h_out=h_out,
+                          c_full=c_full):
+                r = pl.multiple_of(rr * 2, 2)
+                pieces = []
+                for dy in range(4):
+                    base = row_slice(band_in, r + dy, in_c, 1)
+                    if aux_here:
+                        base = jnp.concatenate(
+                            [base, row_slice3(win_aux, r + dy, aux_here, 1)],
+                            axis=0,
+                        )
+                    pieces.append(
+                        jnp.concatenate([base[:, -1:], base[:, :-1]], axis=1)
+                    )
+                    pieces.append(base)
+                    pieces.append(
+                        jnp.concatenate([base[:, 1:], base[:, :1]], axis=1)
+                    )
+                pat4 = jnp.concatenate(pieces, axis=0)  # [12*C_full, wl]
+                y0 = dot(wm, pat4[: 9 * c_full])
+                emit_y(y0, r, bias=bias, act=act, cout=cout,
+                       out_band=out_band, h_out=h_out)
+                y1 = dot(wm, pat4[3 * c_full :])
+                emit_y(y1, r + 1, bias=bias, act=act, cout=cout,
+                       out_band=out_band, h_out=h_out)
+                return carry
+
+            jax.lax.fori_loop(0, rows_out // 2, row_body2, 0)
+            if rows_out % 2:  # odd tail row
+                r = rows_out - 1
+                pieces = []
+                for dy in range(3):
+                    base = row_slice(band_in, r + dy, in_c, 1)
+                    if aux_here:
+                        base = jnp.concatenate(
+                            [base, row_slice3(win_aux, r + dy, aux_here, 1)],
+                            axis=0,
+                        )
+                    pieces.append(
+                        jnp.concatenate([base[:, -1:], base[:, :-1]], axis=1)
+                    )
+                    pieces.append(base)
+                    pieces.append(
+                        jnp.concatenate([base[:, 1:], base[:, :1]], axis=1)
+                    )
+                emit_y(dot(wm, jnp.concatenate(pieces, axis=0)), r, bias=bias,
+                       act=act, cout=cout, out_band=out_band, h_out=h_out)
+        else:  # 1x1
+
+            def row_body1(r, carry, *, band_in=band_in, in_c=in_c,
+                          aux_here=aux_here, wm=wm, bias=bias, act=act,
+                          cout=cout, out_band=out_band, h_out=h_out):
+                pat = row_slice(band_in, r, in_c, 1)
+                if aux_here:
+                    pat = jnp.concatenate(
+                        [pat, row_slice3(win_aux, r, aux_here, 1)], axis=0
+                    )
+                emit_y(dot(wm, pat), r, bias=bias, act=act, cout=cout,
+                       out_band=out_band, h_out=h_out)
+                return carry
+
+            jax.lax.fori_loop(0, rows_out, row_body1, 0)
 
         if l in emit:
             out_refs[emit_idx][:, :] = out_band[
