@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--height", type=int, default=540)   # raw half-res
     ap.add_argument("--width", type=int, default=960)
     ap.add_argument("--exact", action="store_true", help="fp32-exact convs")
+    ap.add_argument("--precision", default="fast",
+                    choices=["fast", "mixed", "accurate"],
+                    help="fused-path numerics preset (FUSED_PRECISIONS)")
     args = ap.parse_args()
 
     import jax
@@ -63,6 +66,7 @@ def main():
         feature_rec=feat, warp_impl="xla" if args.exact else "pallas",
         state_dtype="float32" if args.exact else "bfloat16",
         net_impl="xla" if args.exact else "fused",
+        fused_precision=args.precision,
     )
     net_dtype = None if args.exact else jnp.bfloat16
     kw = {}
@@ -136,7 +140,8 @@ def main():
             json.dumps(
                 {
                     "metric": f"1080p_fps_per_chip_{args.model.replace('+', '_')}_scan"
-                    + ("" if args.streams == 1 else f"_x{args.streams}streams"),
+                    + ("" if args.streams == 1 else f"_x{args.streams}streams")
+                    + ("" if args.precision == "fast" else f"_{args.precision}"),
                     "value": round(fps, 2),
                     "unit": "frames/sec",
                     "vs_baseline": round(fps / 30.0, 3),
@@ -167,7 +172,8 @@ def main():
             {
                 "metric": f"1080p_fps_per_chip_{args.model.replace('+', '_')}"
                 + ("" if args.streams == 1 else f"_x{args.streams}streams")
-                + ("_online_flow" if args.with_flow else ""),
+                + ("_online_flow" if args.with_flow else "")
+                + ("" if args.precision == "fast" else f"_{args.precision}"),
                 "value": round(fps, 2),
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / 30.0, 3),

@@ -103,8 +103,11 @@ class Options:
     exact_precision: bool = True  # fp32-exact convs (parity); False = bf16 MXU
     warp_impl: str = "auto"  # auto | xla | pallas (inference warping)
     #: 'xla' (exact, any backend) | 'fused' (TPU fast inference: planar
-    #: Pallas step — bf16, tanh GELU; see BENCH notes for measured PSNR)
+    #: Pallas step; see BENCH.md for measured speed/PSNR per precision)
     net_impl: str = "xla"
+    #: fused-path numerics: 'fast' (bf16) | 'mixed' (fp32 storage, bf16
+    #: MXU) | 'accurate' (fp32 storage, 3-pass MXU ~ fp32)
+    fused_precision: str = "fast"
     profile_dir: str = ""  # capture a jax.profiler trace of a few steps
     distributed: bool = False  # multi-host: call jax.distributed.initialize()
 
@@ -125,7 +128,13 @@ class Options:
         return os.path.join(self.checkpoints_dir, self.name)
 
     def engine_config(self) -> EngineConfig:
-        return EngineConfig(
+        # resolve --model through the registry (reference resolves model
+        # classes by name via importlib, models/__init__.py:25-45); user
+        # code can register_model() a config subclass with the same surface
+        from rvdd_tpu.registry import get_model
+
+        factory = get_model(self.model)
+        return factory(
             model_patch_depth=self.model_patch_depth,
             patch_depth=self.patch_depth,
             future_patch_depth=self.future_patch_depth,
@@ -141,6 +150,7 @@ class Options:
             warp_impl=self.resolve_warp_impl(),
             net_impl=self.net_impl,
             state_dtype="bfloat16" if self.net_impl == "fused" else "float32",
+            fused_precision=self.fused_precision,
         )
 
     def resolve_warp_impl(self) -> str:

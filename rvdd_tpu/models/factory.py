@@ -143,9 +143,11 @@ def reinit_convs(params, key: jax.Array, init_type: str = "kaiming", gain: float
     new_leaves = []
     for (path, leaf), k in zip(leaves, keys):
         last = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-        if last == "kernel" and leaf.ndim == 4:
+        # suffix match: ConvUNet's transposed-conv upsample params are named
+        # up_transposed{i}_kernel/_bias and must follow the same policy
+        if last.endswith("kernel") and leaf.ndim == 4:
             new_leaves.append(kinit(k, leaf.shape, leaf.dtype))
-        elif last == "bias":
+        elif last.endswith("bias"):
             new_leaves.append(jnp.zeros_like(leaf))
         else:
             new_leaves.append(leaf)

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from rvdd_tpu.models.convnext_unet import ConvNeXtUNet, NConvNeXtBlock, ConvNeXtBlock
 from rvdd_tpu.models.fast_unet import (
+    FUSED_PRECISIONS,
     from_planar,
     maxpool2x2_planar,
     to_planar,
@@ -51,7 +52,7 @@ def supports_fast_path_cnx(net: ConvNeXtUNet, h: int, w: int) -> bool:
     )
 
 
-def lane_resize2x_ac(p: jnp.ndarray, w_lo: int) -> jnp.ndarray:
+def lane_resize2x_ac(p: jnp.ndarray, w_lo: int, dtype=jnp.bfloat16) -> jnp.ndarray:
     """[(R), WL_lo] -> [(R), 2*WL_lo] bilinear align_corners=True in the lane
     direction, as one MXU matmul with a constant resize matrix."""
     wl_lo = p.shape[-1]
@@ -65,8 +66,10 @@ def lane_resize2x_ac(p: jnp.ndarray, w_lo: int) -> jnp.ndarray:
         m[j0, k] += 1.0 - t
         if j0 + 1 < w_lo:
             m[j0 + 1, k] += t
-    mm = jnp.asarray(m).astype(jnp.bfloat16)
-    return (p.astype(jnp.bfloat16) @ mm).astype(jnp.bfloat16)
+    mm = jnp.asarray(m).astype(dtype)
+    prec = "default" if dtype == jnp.bfloat16 else "high"
+    with jax.default_matmul_precision(prec):
+        return (p.astype(dtype) @ mm).astype(dtype)
 
 
 def pack_fast_cnx(params, feature_rec: bool, in_nc: int):
@@ -140,14 +143,21 @@ def pack_fast_cnx(params, feature_rec: bool, in_nc: int):
     return packed
 
 
-def _middle_cnx(net, params_mid, d1):
-    """Quarter/eighth-res section with the flax modules (XLA, bf16):
+def _middle_cnx(net, params_mid, d1, precision="fast"):
+    """Quarter/eighth-res section with the flax modules (XLA):
     input [1, H/4, W/4, 48] (the level-2 input) -> dec_conv0 output."""
+    if precision != "fast":
+        with jax.default_matmul_precision("high"):
+            return _middle_cnx_body(net, params_mid, d1, precision)
+    return _middle_cnx_body(net, params_mid, d1, precision)
+
+
+def _middle_cnx_body(net, params_mid, d1, precision):
     from rvdd_tpu.ops.resize import maxpool2x2, upsample2x_bilinear
     from rvdd_tpu.models.unet import zero_pad_to
 
-    dt = jnp.bfloat16
-    fa = True
+    dt = jnp.bfloat16 if precision == "fast" else jnp.float32
+    fa = precision == "fast"  # tanh GELU only in the fast mode
 
     def block(name, cin, x):
         return ConvNeXtBlock(cin, F, 7, net.layerscale_init, dt, fa).apply(
@@ -174,7 +184,8 @@ def _middle_cnx(net, params_mid, d1):
 
 
 def _chain(ch, x, aux, h, w, interpret, aux_channels=None, upsample=False,
-           tile_h=0):
+           tile_h=0, prec=None):
+    prec = prec or FUSED_PRECISIONS["fast"]
     return fused_convnext_chain(
         x,
         ch["blocks"],
@@ -188,35 +199,44 @@ def _chain(ch, x, aux, h, w, interpret, aux_channels=None, upsample=False,
         aux_channels=aux_channels,
         upsample_input=upsample,
         tile_h=tile_h,
+        out_dtype=prec["band_dtype"],
+        band_dtype=prec["band_dtype"],
+        mxu_precision=prec["mxu_precision"],
+        gelu_exact=prec["gelu_exact"],
         interpret=interpret,
     )
 
 
 def fast_forward_planar_cnx(
-    net, packed, xp, aux, h, w, interpret=False, aux_channels=None
+    net, packed, xp, aux, h, w, interpret=False, aux_channels=None,
+    precision="fast",
 ):
-    """Planar core: xp [(H*in_pad), WL] bf16 -> (out [(H*out_pad), WL],
-    feat [(H*48), WL] or None)."""
+    """Planar core: xp [(H*in_pad), WL] -> (out [(H*out_pad), WL],
+    feat [(H*48), WL] or None).  precision: FUSED_PRECISIONS key."""
     wl = xp.shape[-1]
     assert wl % 512 == 0
     ch = packed["chains"]
+    prec = FUSED_PRECISIONS[precision]
+    bd = prec["band_dtype"]
 
-    (skip0,) = _chain(ch["A"], xp, aux, h, w, interpret, aux_channels)
+    (skip0,) = _chain(ch["A"], xp, aux, h, w, interpret, aux_channels,
+                      prec=prec)
     d0 = maxpool2x2_planar(skip0, h)
-    (skip1,) = _chain(ch["B"], d0, None, h // 2, w // 2, interpret)
+    (skip1,) = _chain(ch["B"], d0, None, h // 2, w // 2, interpret, prec=prec)
     d1 = maxpool2x2_planar(skip1, h // 2)
 
-    d1_nhwc = from_planar(d1, h // 4, w // 4)[None].astype(jnp.bfloat16)
-    m = _middle_cnx(net, packed["params_mid"], d1_nhwc)[0]
+    d1_nhwc = from_planar(d1, h // 4, w // 4)[None].astype(bd)
+    m = _middle_cnx(net, packed["params_mid"], d1_nhwc, precision)[0]
 
-    m_lanes = lane_resize2x_ac(to_planar(m, wl // 4), w // 4)
+    m_lanes = lane_resize2x_ac(to_planar(m, wl // 4, dtype=bd), w // 4, bd)
     (dec1,) = _chain(
-        ch["dec1"], m_lanes, skip1, h // 2, w // 2, interpret, upsample=True
+        ch["dec1"], m_lanes, skip1, h // 2, w // 2, interpret, upsample=True,
+        prec=prec,
     )
-    dec1_lanes = lane_resize2x_ac(dec1, w // 2)
+    dec1_lanes = lane_resize2x_ac(dec1, w // 2, bd)
     feat_p, out = _chain(
         ch["dec2"], dec1_lanes, skip0, h, w, interpret,
-        aux_channels=None, upsample=True,
+        aux_channels=None, upsample=True, prec=prec,
     )
     return out, (feat_p if net.feature_rec else None)
 
@@ -227,15 +247,18 @@ def convnext_fast_forward(
     x: jnp.ndarray,  # [B, H, W, in_nc]
     feat: Optional[jnp.ndarray] = None,
     interpret: bool = False,
+    precision: str = "fast",
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """NHWC wrapper (tests); the engine uses fast_forward_planar_cnx."""
     b, h, w, _ = x.shape
     wl = -(-(w + 1) // 512) * 512
+    bd = FUSED_PRECISIONS[precision]["band_dtype"]
     outs, feats = [], []
     for bi in range(b):
-        xp = to_planar(x[bi], wl, c_pad=packed["in_pad"] - x.shape[-1])
-        auxp = to_planar(feat[bi], wl) if net.feature_rec else None
-        o, f = fast_forward_planar_cnx(net, packed, xp, auxp, h, w, interpret)
+        xp = to_planar(x[bi], wl, c_pad=packed["in_pad"] - x.shape[-1], dtype=bd)
+        auxp = to_planar(feat[bi], wl, dtype=bd) if net.feature_rec else None
+        o, f = fast_forward_planar_cnx(net, packed, xp, auxp, h, w, interpret,
+                                       precision=precision)
         outs.append(from_planar(o, h, w, c=packed["out_nc"]).astype(jnp.float32))
         feats.append(
             from_planar(f, h, w).astype(jnp.float32) if f is not None else None

@@ -29,11 +29,23 @@ from rvdd_tpu.ops.pallas.conv_pallas import (
     pack_weight,
 )
 
+#: fused-path numerics presets: band storage dtype, MXU passes, GELU flavor
+#: (gelu_exact only affects the ConvNeXt kernel).  'fast' is the bf16
+#: throughput mode; 'accurate' stores fp32 bands and runs 3-pass MXU dots
+#: (~fp32) for reference-parity outputs at reduced speed; 'mixed' keeps
+#: 1-pass bf16 dots but removes every storage/glue rounding.
+FUSED_PRECISIONS = {
+    "fast": dict(band_dtype=jnp.bfloat16, mxu_precision="default", gelu_exact=False),
+    "mixed": dict(band_dtype=jnp.float32, mxu_precision="default", gelu_exact=True),
+    "accurate": dict(band_dtype=jnp.float32, mxu_precision="highest", gelu_exact=True),
+}
+
 
 def supports_fast_path(net: ConvUNet, h: int, w: int) -> bool:
     return (
         isinstance(net, ConvUNet)
         and net.fixed_features
+        and net.filters == 48  # the packing hardcodes 48-ch splits/feat
         and net.depth == 4
         and net.bottleneck_depth == 2
         and net.post_depth == 2
@@ -56,12 +68,12 @@ def supports_fast_path(net: ConvUNet, h: int, w: int) -> bool:
 # ---------------------------------------------------------------- planar glue
 
 
-def to_planar(x: jnp.ndarray, wl: int, c_pad: int = 0) -> jnp.ndarray:
-    """[H, W, C] -> [(H*(C+c_pad)), WL] bf16 with zero lane/channel pad."""
+def to_planar(x: jnp.ndarray, wl: int, c_pad: int = 0, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """[H, W, C] -> [(H*(C+c_pad)), WL] with zero lane/channel pad."""
     h, w, c = x.shape
     p = jnp.transpose(x, (0, 2, 1))  # [H, C, W]
     p = jnp.pad(p, ((0, 0), (0, c_pad), (0, wl - w)))
-    return p.reshape(h * (c + c_pad), wl).astype(jnp.bfloat16)
+    return p.reshape(h * (c + c_pad), wl).astype(dtype)
 
 
 def from_planar(p: jnp.ndarray, h: int, w: int, c: Optional[int] = None) -> jnp.ndarray:
@@ -89,14 +101,14 @@ def lane_upsample2x_planar(p: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     lane interleave, XLA does."""
     c = p.shape[0] // h
     wl = p.shape[1]
-    x = p.reshape(h, c, wl).astype(jnp.bfloat16)
+    x = p.reshape(h, c, wl)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, wl), 2)
     edge = jax.lax.dynamic_slice_in_dim(x, w - 1, 1, axis=2)
     x = jnp.where(col == w, edge, x)
     left = jnp.concatenate([x[..., :1], x[..., :-1]], axis=2)
     right = jnp.concatenate([x[..., 1:], x[..., -1:]], axis=2)
     lanes2 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * wl), 2)
-    mask = (lanes2 < 2 * w).astype(jnp.bfloat16)
+    mask = (lanes2 < 2 * w).astype(x.dtype)
     even = 0.75 * x + 0.25 * left
     odd = 0.75 * x + 0.25 * right
     x = jnp.stack([even, odd], axis=-1).reshape(h, c, 2 * wl) * mask
@@ -148,9 +160,21 @@ def _conv(p, x, act=True, dil=1):
     return jnp.maximum(y, 0.0) if act else y
 
 
-def _middle(params, d1):
+def _middle(params, d1, mxu_precision="default"):
     """Quarter/eighth-res section in XLA NHWC: enc2 -> enc3 -> bottleneck ->
     dec0; input/output [1, H/4, W/4, 48]."""
+    from rvdd_tpu.ops.resize import maxpool2x2, upsample2x_bilinear
+    from rvdd_tpu.models.unet import zero_pad_to
+
+    if mxu_precision != "default":
+        with jax.default_matmul_precision(
+            "high" if mxu_precision == "high" else "highest"
+        ):
+            return _middle_body(params, d1)
+    return _middle_body(params, d1)
+
+
+def _middle_body(params, d1):
     from rvdd_tpu.ops.resize import maxpool2x2, upsample2x_bilinear
     from rvdd_tpu.models.unet import zero_pad_to
 
@@ -294,6 +318,7 @@ def convunet_fast_forward(
     x: jnp.ndarray,  # [B, H, W, in_nc]
     feat: Optional[jnp.ndarray] = None,  # [B, H, W, 48]
     interpret: bool = False,
+    precision: str = "fast",
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Fast forward; returns (y [B,H,W,out_nc] f32, new_feat or None)."""
     b, h, w, _ = x.shape
@@ -305,7 +330,7 @@ def convunet_fast_forward(
     for bi in range(b):
         y, nf = _fast_forward_one(
             net, packed, x[bi], feat[bi] if feat is not None else None,
-            h, w, wl, interpret,
+            h, w, wl, interpret, precision,
         )
         outs.append(y)
         feats.append(nf)
@@ -315,7 +340,8 @@ def convunet_fast_forward(
 
 
 def _chain(packed_chain, x, aux, h, w, interpret, aux_channels=None,
-           upsample_input=False):
+           upsample_input=False, prec=None):
+    prec = prec or FUSED_PRECISIONS["fast"]
     return fused_conv_chain(
         x,
         packed_chain["ws"],
@@ -328,48 +354,62 @@ def _chain(packed_chain, x, aux, h, w, interpret, aux_channels=None,
         emit=packed_chain["emit"],
         aux_channels=aux_channels,
         upsample_input=upsample_input,
+        out_dtype=prec["band_dtype"],
+        band_dtype=prec["band_dtype"],
+        mxu_precision=prec["mxu_precision"],
         interpret=interpret,
     )
 
 
 def fast_forward_planar(
-    net, packed, xp, aux, h, w, interpret=False, aux_channels=None
+    net, packed, xp, aux, h, w, interpret=False, aux_channels=None,
+    precision="fast",
 ):
-    """Planar core: xp [(H*in_pad), WL] bf16 -> (out [(H*out_pad), WL] bf16,
-    feat [(H*48), WL] bf16 or None).  aux: recurrent features, either
-    [(H*48), WL] or a wider planar tensor with aux_channels=(offset, 48)."""
+    """Planar core: xp [(H*in_pad), WL] -> (out [(H*out_pad), WL],
+    feat [(H*48), WL] or None).  aux: recurrent features, either
+    [(H*48), WL] or a wider planar tensor with aux_channels=(offset, 48).
+    precision: FUSED_PRECISIONS key."""
     wl = xp.shape[-1]
     assert wl % 512 == 0, "planar lane count must be a 512-multiple"
+    prec = FUSED_PRECISIONS[precision]
+    bd = prec["band_dtype"]
 
-    skip0, d0pre = _chain(packed["A"], xp, aux, h, w, interpret, aux_channels)
+    skip0, d0pre = _chain(
+        packed["A"], xp, aux, h, w, interpret, aux_channels, prec=prec
+    )
     d0 = maxpool2x2_planar(d0pre, h)
 
-    skip1, d1pre = _chain(packed["B"], d0, None, h // 2, w // 2, interpret)
+    skip1, d1pre = _chain(packed["B"], d0, None, h // 2, w // 2, interpret,
+                          prec=prec)
     d1 = maxpool2x2_planar(d1pre, h // 2)
 
     # quarter/eighth resolution in XLA NHWC (cheap; odd sizes handled by
     # the existing zero_pad_to logic)
-    d1_nhwc = from_planar(d1, h // 4, w // 4)[None].astype(jnp.bfloat16)
-    m = _middle(packed["params_mid"], d1_nhwc)[0]
+    d1_nhwc = from_planar(d1, h // 4, w // 4)[None].astype(bd)
+    m = _middle(packed["params_mid"], d1_nhwc, prec["mxu_precision"])[0]
 
     # the dec chains upsample rows inside the kernel; lanes are upsampled by
     # the cheap half-res XLA pass (no full-res HBM round trip)
-    m_lanes = lane_upsample2x_planar(to_planar(m, wl // 4), h // 4, w // 4)
+    m_lanes = lane_upsample2x_planar(to_planar(m, wl // 4, dtype=bd), h // 4, w // 4)
     (dec1,) = _chain(
         packed["dec1"], m_lanes, skip1, h // 2, w // 2,
-        interpret, upsample_input=True,
+        interpret, upsample_input=True, prec=prec,
     )
     dec1_lanes = lane_upsample2x_planar(dec1, h // 2, w // 2)
     new_feat, out = _chain(
-        packed["dec2"], dec1_lanes, skip0, h, w, interpret, upsample_input=True
+        packed["dec2"], dec1_lanes, skip0, h, w, interpret,
+        upsample_input=True, prec=prec,
     )
     return out, (new_feat if net.feature_rec else None)
 
 
-def _fast_forward_one(net, packed, x, feat, h, w, wl, interpret):
-    xp = to_planar(x, wl, c_pad=packed["in_pad"] - x.shape[-1])
-    auxp = to_planar(feat, wl) if net.feature_rec else None
-    out, new_feat = fast_forward_planar(net, packed, xp, auxp, h, w, interpret)
+def _fast_forward_one(net, packed, x, feat, h, w, wl, interpret, precision="fast"):
+    bd = FUSED_PRECISIONS[precision]["band_dtype"]
+    xp = to_planar(x, wl, c_pad=packed["in_pad"] - x.shape[-1], dtype=bd)
+    auxp = to_planar(feat, wl, dtype=bd) if net.feature_rec else None
+    out, new_feat = fast_forward_planar(
+        net, packed, xp, auxp, h, w, interpret, precision=precision
+    )
     y = from_planar(out, h, w, c=packed["out_nc"]).astype(jnp.float32)
     nf = (
         from_planar(new_feat, h, w).astype(jnp.float32)

@@ -80,6 +80,8 @@ def _chain_kernel(
     n_tiles: int,
     upsample_input: bool,
     out_dtype,
+    band_dtype,
+    precision,
 ):
     nl = len(layer_specs)
     n_in = 2 if aux_c else 1
@@ -213,7 +215,7 @@ def _chain_kernel(
             in_img = ((g >= 0) & (g < h_img)).astype(jnp.float32)
             row = row * in_img
             win_x[pl.ds(pl.multiple_of(r * cx, 8), cx), :] = row.astype(
-                jnp.bfloat16
+                band_dtype
             )
             return carry
 
@@ -255,17 +257,17 @@ def _chain_kernel(
             in_img = ((g >= 0) & (g < h_img)).astype(jnp.float32)
             y = y * (lane_mask * in_img)
             out_band[pl.ds(pl.multiple_of(r * cout, 8), cout), :] = (
-                y.astype(jnp.bfloat16)
+                y.astype(band_dtype)
             )
 
         def dot(wm, pat):
             return jax.lax.dot_general(
                 wm, pat, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                # the fast path is bf16 by design: pin the MXU precision so a
-                # global jax_default_matmul_precision='highest' (the exact-
-                # parity mode) can't force an unsupported fp32-contract
-                precision=jax.lax.Precision.DEFAULT,
+                # pin the MXU precision per fused-precision mode so a global
+                # jax_default_matmul_precision (the exact-parity mode) can't
+                # force an unsupported fp32-contract on bf16 operands
+                precision=precision,
             )
 
         if ks == 3:
@@ -349,15 +351,23 @@ def _chain_kernel(
         in_c = cout
 
 
+PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,  # fp32 operands: 3-pass bf16 (~fp32)
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "acts", "kernel_sizes", "emit", "h_img", "w_img", "tile_h",
-        "out_dtype", "aux_channels", "upsample_input", "interpret",
+        "out_dtype", "aux_channels", "upsample_input", "band_dtype",
+        "mxu_precision", "interpret",
     ),
 )
 def fused_conv_chain(
-    x: jnp.ndarray,  # [(H*Cx), WL] bf16, planar row-major; lanes >= W zero
+    x: jnp.ndarray,  # [(H*Cx), WL] planar row-major; lanes >= W zero
     weights: Sequence[jnp.ndarray],  # packed [Cout, K*K*Cin] (pack_weight)
     biases: Sequence[jnp.ndarray],  # [Cout] each
     acts: Sequence[str],
@@ -372,6 +382,9 @@ def fused_conv_chain(
     #                     row blocks (aux then holds [(H*Cfull), WL])
     upsample_input: bool = False,  # x is [(H/2*Cx), WL/2]; the kernel
     #                     bilinearly upsamples it into the layer-0 band
+    band_dtype=jnp.bfloat16,  # inter-layer activation storage precision
+    mxu_precision: str = "default",  # MXU passes: 'default' (1-pass bf16)
+    #                     or 'high' (3-pass, ~fp32 for fp32 bands)
     interpret: bool = False,
 ):
     """Run a fused chain of convs; returns one [(H*Cout_l), WL] per emit."""
@@ -431,7 +444,7 @@ def fused_conv_chain(
             for l in range(nl):
                 rows += (t + 2 * halos[l + 1]) * layer_specs[l][1]
             rows += 2 * t * sum(layer_specs[l][1] for l in emit)
-            return rows * wl * 2
+            return rows * wl * jnp.dtype(band_dtype).itemsize
 
         tile_h = next(
             (
@@ -461,8 +474,13 @@ def fused_conv_chain(
         n_tiles=n_tiles,
         upsample_input=upsample_input,
         out_dtype=out_dtype,
+        band_dtype=band_dtype,
+        precision=PRECISIONS[mxu_precision],
     )
 
+    x = x.astype(band_dtype)
+    if aux is not None:
+        aux = aux.astype(band_dtype)
     in_arrays = [x] + ([aux] if aux is not None else [])
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * len(in_arrays)
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * nl)
@@ -479,21 +497,21 @@ def fused_conv_chain(
         )
 
     scratch = [
-        pltpu.VMEM(((tile_h + 2 * halos[0]) * cx, wl), jnp.bfloat16),
+        pltpu.VMEM(((tile_h + 2 * halos[0]) * cx, wl), band_dtype),
     ]
     if upsample_input:
         rows_lo = min(tile_h // 2 + halos[0] + 2, h_lo)
-        scratch.append(pltpu.VMEM((rows_lo, cx, wl), jnp.bfloat16))
+        scratch.append(pltpu.VMEM((rows_lo, cx, wl), band_dtype))
     if aux_c:
         scratch.append(
-            pltpu.VMEM((tile_h + 2 * halos[1], aux_c, wl), jnp.bfloat16)
+            pltpu.VMEM((tile_h + 2 * halos[1], aux_c, wl), band_dtype)
         )
     for l in range(nl):
         rows = tile_h + 2 * halos[l + 1]
-        scratch.append(pltpu.VMEM((rows * layer_specs[l][1], wl), jnp.bfloat16))
+        scratch.append(pltpu.VMEM((rows * layer_specs[l][1], wl), band_dtype))
     scratch.append(pltpu.SemaphoreType.DMA)
 
-    wms = [w.astype(jnp.bfloat16) for w in weights]
+    wms = [w.astype(band_dtype) for w in weights]
     bms = [b.reshape(-1, 1).astype(jnp.float32) for b in biases]
 
     outs = pl.pallas_call(

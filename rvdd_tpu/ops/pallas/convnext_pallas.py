@@ -38,6 +38,24 @@ from jax.experimental.pallas import tpu as pltpu
 F = 48  # the architecture's constant width
 
 
+def _erf(x):
+    """Polynomial erf (Abramowitz-Stegun 7.1.26, max abs err 1.5e-7):
+    Mosaic has no erf lowering, and exact-GELU parity needs better than the
+    tanh approximation (~1e-3 abs err)."""
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    )
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y
+
+
+def _gelu_erf(x):
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
+
+
 def pack_block(p, cin: int):
     """Flax ConvNeXtBlock params -> flat packed arrays for the kernel.
 
@@ -84,6 +102,12 @@ def _cnx_kernel(
     n_tail: int,  # trailing 1x1 head layers (w [cout, 48], b) appended
     tail_couts: Sequence[int],
     out_dtype,
+    band_dtype,
+    precision,
+    gelu_exact: bool,
+    dw_mxu: bool,
+    dw_rows: int,
+    debug_skip: tuple,
 ):
     r_half = ksize // 2
     n_in = 2 if aux_c else 1
@@ -103,8 +127,9 @@ def _cnx_kernel(
     win_x = scratch.pop(0)
     win_lo = scratch.pop(0) if upsample_input else None
     win_aux = scratch.pop(0) if aux_c else None
-    bands = scratch[:-1]
-    sem = scratch[-1]
+    sem = scratch.pop()
+    pat = scratch.pop() if dw_mxu else None
+    bands = scratch
 
     i = pl.program_id(0)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, wl), 1)
@@ -144,7 +169,7 @@ def _cnx_kernel(
             in_img = ((g >= 0) & (g < h_img)).astype(jnp.float32)
             win_x[pl.ds(pl.multiple_of(r * cx, 8), cx), :] = (
                 row * in_img
-            ).astype(jnp.bfloat16)
+            ).astype(band_dtype)
             return carry
 
         jax.lax.fori_loop(0, rows, build_row, 0)
@@ -162,19 +187,19 @@ def _cnx_kernel(
 
         h0 = halos[0]
         if n_tiles == 1:
-            win_x[: h0 * cx] = jnp.zeros((h0 * cx, wl), jnp.bfloat16)
-            win_x[(h0 + th) * cx :] = jnp.zeros((h0 * cx, wl), jnp.bfloat16)
+            win_x[: h0 * cx] = jnp.zeros((h0 * cx, wl), band_dtype)
+            win_x[(h0 + th) * cx :] = jnp.zeros((h0 * cx, wl), band_dtype)
             dma(0, th, h0)
         else:
 
             @pl.when(i == 0)
             def _():
-                win_x[: h0 * cx] = jnp.zeros((h0 * cx, wl), jnp.bfloat16)
+                win_x[: h0 * cx] = jnp.zeros((h0 * cx, wl), band_dtype)
                 dma(0, th + h0, h0)
 
             @pl.when(i == n_tiles - 1)
             def _():
-                win_x[(h0 + th) * cx :] = jnp.zeros((h0 * cx, wl), jnp.bfloat16)
+                win_x[(h0 + th) * cx :] = jnp.zeros((h0 * cx, wl), band_dtype)
                 dma(i * th - h0, th + h0, 0)
 
             @pl.when((i > 0) & (i < n_tiles - 1))
@@ -195,19 +220,19 @@ def _cnx_kernel(
             cp.wait()
 
         if n_tiles == 1:
-            win_aux[0:h1] = jnp.zeros((h1, aux_c, wl), jnp.bfloat16)
-            win_aux[h1 + th : rows_a] = jnp.zeros((h1, aux_c, wl), jnp.bfloat16)
+            win_aux[0:h1] = jnp.zeros((h1, aux_c, wl), band_dtype)
+            win_aux[h1 + th : rows_a] = jnp.zeros((h1, aux_c, wl), band_dtype)
             dma_a(0, th, h1)
         else:
 
             @pl.when(i == 0)
             def _():
-                win_aux[0:h1] = jnp.zeros((h1, aux_c, wl), jnp.bfloat16)
+                win_aux[0:h1] = jnp.zeros((h1, aux_c, wl), band_dtype)
                 dma_a(0, th + h1, h1)
 
             @pl.when(i == n_tiles - 1)
             def _():
-                win_aux[h1 + th : rows_a] = jnp.zeros((h1, aux_c, wl), jnp.bfloat16)
+                win_aux[h1 + th : rows_a] = jnp.zeros((h1, aux_c, wl), band_dtype)
                 dma_a(i * th - h1, th + h1, 0)
 
             @pl.when((i > 0) & (i < n_tiles - 1))
@@ -258,7 +283,7 @@ def _cnx_kernel(
                 y = jax.lax.dot_general(
                     proj_w, xrow, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.DEFAULT,
+                    precision=precision,
                 ) + proj_b
                 # zero-pad semantics: halo rows outside the image must stay
                 # zero (the bias would otherwise leak into the dw borders)
@@ -266,7 +291,7 @@ def _cnx_kernel(
                 in_img = ((g >= 0) & (g < h_img)).astype(jnp.float32)
                 pband[pl.ds(pl.multiple_of(r * F, 8), F), :] = (
                     y * (lane_mask * in_img)
-                ).astype(jnp.bfloat16)
+                ).astype(band_dtype)
                 return carry
 
             jax.lax.fori_loop(0, rows_in, proj_row, 0)
@@ -274,23 +299,9 @@ def _cnx_kernel(
         else:
             src_band = band_in
 
-        def block_row(r, carry, *, src_band=src_band, dwT=dwT, dw_b=dw_b,
-                      ln_g=ln_g, ln_b=ln_b, pw1=pw1, pw1_b=pw1_b, pw2=pw2,
-                      pw2_b=pw2_b, ls=ls, h_out=h_out, out_band=out_band):
-            # depthwise 7x7: 49 lane-shifted FMAs (f32 accumulate)
-            acc = jnp.broadcast_to(dw_b, (F, wl)).astype(jnp.float32)
-            for dy in range(ksize):
-                row = src_band[
-                    pl.ds(pl.multiple_of((r + dy) * F, 8), F), :
-                ]
-                for dx in range(ksize):
-                    t = dy * ksize + dx
-                    s = dx - r_half
-                    if s == 0:
-                        seg = row
-                    else:
-                        seg = jnp.concatenate([row[:, s:], row[:, :s]], axis=1)
-                    acc = acc + dwT[:, t : t + 1] * seg.astype(jnp.float32)
+        def finish_row(acc, r, *, src_band=src_band, ln_g=ln_g, ln_b=ln_b,
+                       pw1=pw1, pw1_b=pw1_b, pw2=pw2, pw2_b=pw2_b, ls=ls,
+                       h_out=h_out, out_band=out_band):
             # channel LayerNorm (biased variance, eps 1e-6)
             u = jnp.mean(acc, axis=0, keepdims=True)
             d = acc - u
@@ -298,21 +309,18 @@ def _cnx_kernel(
             hn = d * jax.lax.rsqrt(s2 + 1e-6)
             hn = hn * ln_g + ln_b
             h1 = jax.lax.dot_general(
-                pw1, hn.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                pw1, hn.astype(band_dtype), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                # the fast path is bf16 by design: pin the MXU precision so a
-                # global jax_default_matmul_precision='highest' (the exact-
-                # parity mode) can't force an unsupported fp32-contract
-                precision=jax.lax.Precision.DEFAULT,
+                # pin the MXU precision per fused-precision mode so a global
+                # jax_default_matmul_precision (the exact-parity mode) can't
+                # force an unsupported fp32-contract on bf16 operands
+                precision=precision,
             ) + pw1_b
-            h1 = jax.nn.gelu(h1, approximate=True)
+            h1 = _gelu_erf(h1) if gelu_exact else jax.nn.gelu(h1, approximate=True)
             h2 = jax.lax.dot_general(
-                pw2, h1.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                pw2, h1.astype(band_dtype), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                # the fast path is bf16 by design: pin the MXU precision so a
-                # global jax_default_matmul_precision='highest' (the exact-
-                # parity mode) can't force an unsupported fp32-contract
-                precision=jax.lax.Precision.DEFAULT,
+                precision=precision,
             ) + pw2_b
             xc = src_band[
                 pl.ds(pl.multiple_of((r + r_half) * F, 8), F), :
@@ -322,11 +330,128 @@ def _cnx_kernel(
             in_img = ((g >= 0) & (g < h_img)).astype(jnp.float32)
             y = y * (lane_mask * in_img)
             out_band[pl.ds(pl.multiple_of(r * F, 8), F), :] = y.astype(
-                jnp.bfloat16
+                band_dtype
             )
-            return carry
 
-        jax.lax.fori_loop(0, rows_out, block_row, 0)
+        if dw_mxu:
+            # depthwise 7x7 as an im2col MXU dot: build a dy-major stack of
+            # lane-shifted planes shared by dw_rows output rows (7-row
+            # overlap between consecutive outputs), then one
+            # [48, 49*48] @ [49*48, WL] dot per row.  dwT here is the
+            # channel-block-diagonal dense matrix (see wrapper).  The dense
+            # dot does 48x redundant FLOPs but the MXU runs it much faster
+            # than the 49-FMA VPU sweep, and the stack amortizes the lane
+            # shifts (70 planes per 4 rows vs 196).  LN/GELU/pw run ONCE per
+            # group on the lane-concatenated [*, rb*WL] batch: per-op issue
+            # overhead dominates the per-row cost (measured), so batching
+            # rows on lanes divides it by rb.
+            rb = min(dw_rows, rows_out)
+            n_groups = -(-rows_out // rb)
+            n_dy = rb + ksize - 1
+
+            def block_group(gi, carry, *, src_band=src_band, dwd=dwT,
+                            dw_b=dw_b, ln_g=ln_g, ln_b=ln_b, pw1=pw1,
+                            pw1_b=pw1_b, pw2=pw2, pw2_b=pw2_b, ls=ls,
+                            h_out=h_out, out_band=out_band,
+                            rows_out=rows_out, rb=rb, n_dy=n_dy):
+                # clamp the last group so it overlaps instead of overrunning
+                # (rewrites are idempotent: rows are pure fns of src_band)
+                r0 = jnp.minimum(gi * rb, rows_out - rb)
+                for dy in range(n_dy):
+                    row = src_band[
+                        pl.ds(pl.multiple_of((r0 + dy) * F, 8), F), :
+                    ]
+                    for dx in range(ksize):
+                        t = dy * ksize + dx
+                        sft = dx - r_half
+                        if sft == 0:
+                            seg = row
+                        else:
+                            seg = jnp.concatenate(
+                                [row[:, sft:], row[:, :sft]], axis=1
+                            )
+                        pat[t * F : (t + 1) * F, :] = seg
+                if "dw" in debug_skip:
+                    acc = jnp.broadcast_to(
+                        dw_b, (F, rb * wl)
+                    ).astype(jnp.float32) + pat[:F, :1]
+                else:
+                    dws = [
+                        jax.lax.dot_general(
+                            dwd,
+                            pat[j * ksize * F : (j + ksize) * ksize * F, :],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=precision,
+                        )
+                        for j in range(rb)
+                    ]
+                    acc = jnp.concatenate(dws, axis=1) + dw_b  # [F, rb*WL]
+                if "ln" in debug_skip:
+                    hn = acc
+                else:
+                    # channel LayerNorm (biased variance, eps 1e-6)
+                    u = jnp.mean(acc, axis=0, keepdims=True)
+                    d = acc - u
+                    s2 = jnp.mean(d * d, axis=0, keepdims=True)
+                    hn = d * jax.lax.rsqrt(s2 + 1e-6)
+                    hn = hn * ln_g + ln_b
+                if "pw" in debug_skip:
+                    h2 = hn
+                else:
+                    h1 = jax.lax.dot_general(
+                        pw1, hn.astype(band_dtype), (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=precision,
+                    ) + pw1_b
+                    if "gelu" not in debug_skip:
+                        h1 = _gelu_erf(h1) if gelu_exact else jax.nn.gelu(
+                            h1, approximate=True
+                        )
+                    h2 = jax.lax.dot_general(
+                        pw2, h1.astype(band_dtype), (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=precision,
+                    ) + pw2_b
+                for j in range(rb):
+                    r = r0 + j
+                    xc = src_band[
+                        pl.ds(pl.multiple_of((r + r_half) * F, 8), F), :
+                    ].astype(jnp.float32)
+                    y = xc + ls * h2[:, j * wl : (j + 1) * wl]
+                    g = i * th + r - h_out
+                    in_img = ((g >= 0) & (g < h_img)).astype(jnp.float32)
+                    y = y * (lane_mask * in_img)
+                    out_band[pl.ds(pl.multiple_of(r * F, 8), F), :] = (
+                        y.astype(band_dtype)
+                    )
+                return carry
+
+            jax.lax.fori_loop(0, n_groups, block_group, 0)
+        else:
+
+            def block_row(r, carry, *, src_band=src_band, dwT=dwT,
+                          dw_b=dw_b, finish_row=finish_row):
+                # depthwise 7x7: 49 lane-shifted FMAs (f32 accumulate)
+                acc = jnp.broadcast_to(dw_b, (F, wl)).astype(jnp.float32)
+                for dy in range(ksize):
+                    row = src_band[
+                        pl.ds(pl.multiple_of((r + dy) * F, 8), F), :
+                    ]
+                    for dx in range(ksize):
+                        t = dy * ksize + dx
+                        sft = dx - r_half
+                        if sft == 0:
+                            seg = row
+                        else:
+                            seg = jnp.concatenate(
+                                [row[:, sft:], row[:, :sft]], axis=1
+                            )
+                        acc = acc + dwT[:, t : t + 1] * seg.astype(jnp.float32)
+                finish_row(acc, r)
+                return carry
+
+            jax.lax.fori_loop(0, rows_out, block_row, 0)
 
         if b in emit:
             out_refs[emit_idx][:, :] = out_band[
@@ -352,7 +477,7 @@ def _cnx_kernel(
                 y = jax.lax.dot_general(
                     tw, xrow, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.DEFAULT,
+                    precision=precision,
                 ) + tb
                 y = y * lane_mask
                 out_ref[pl.ds(pl.multiple_of(r * cout, 8), cout), :] = (
@@ -363,11 +488,20 @@ def _cnx_kernel(
             jax.lax.fori_loop(0, th, tail_row, 0)
 
 
+PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,  # fp32 operands: 3-pass bf16 (~fp32)
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "h_img", "w_img", "emit", "tile_h", "out_dtype", "aux_channels",
-        "upsample_input", "ksize", "tail_couts", "has_proj", "interpret",
+        "upsample_input", "ksize", "tail_couts", "has_proj", "band_dtype",
+        "mxu_precision", "gelu_exact", "dw_impl", "dw_rows", "debug_skip",
+        "interpret",
     ),
 )
 def fused_convnext_chain(
@@ -385,6 +519,12 @@ def fused_convnext_chain(
     upsample_input: bool = False,
     ksize: int = 7,
     tail_couts=(),
+    band_dtype=jnp.bfloat16,  # inter-stage activation storage precision
+    mxu_precision: str = "default",  # 'default' (1-pass bf16) | 'high'
+    gelu_exact: bool = False,  # erf GELU (reference) vs tanh approximation
+    dw_impl: str = "mxu",  # depthwise engine: 'mxu' (im2col dot) | 'vpu'
+    dw_rows: int = 4,  # output rows sharing one patch stack (mxu mode)
+    debug_skip: tuple = (),  # profiling aid: skip {'dw','ln','gelu','pw'}
     interpret: bool = False,
 ):
     """Run a fused chain of ConvNeXt blocks; returns one array per emit
@@ -433,8 +573,10 @@ def fused_convnext_chain(
                 bands += (t + 2 * max(halos[b] for b in range(nb) if has_proj[b])) * F
             if aux_c:
                 bands += (t + 2 * halos[1]) * aux_c
+            if dw_impl == "mxu":
+                bands += (dw_rows + ksize - 1) * ksize * F
             outs = 2 * t * (F * len(emit) + sum(tail_couts))
-            return (bands + outs) * wl * 2
+            return (bands + outs) * wl * jnp.dtype(band_dtype).itemsize
 
         tile_h = next(
             (
@@ -454,8 +596,28 @@ def fused_convnext_chain(
         aux_c=aux_c, aux_off=aux_off, n_tiles=n_tiles,
         upsample_input=upsample_input, ksize=ksize, n_tail=len(tail),
         tail_couts=tuple(tail_couts), out_dtype=out_dtype,
+        band_dtype=band_dtype, precision=PRECISIONS[mxu_precision],
+        gelu_exact=gelu_exact, dw_mxu=(dw_impl == "mxu"), dw_rows=dw_rows,
+        debug_skip=tuple(debug_skip),
     )
 
+    if dw_impl == "mxu":
+        # expand each [48, 49] per-channel tap matrix into the channel-
+        # block-diagonal dense [48, 49*48]: dwd[c, t*48 + c2] = dwT[c, t]
+        # iff c2 == c (matching the dy-major patch-stack plane order)
+        eye = jnp.eye(F, dtype=jnp.float32)
+        nbs = []
+        for blk, hp in zip(blocks, has_proj):
+            blk = list(blk)
+            di = 2 if hp else 0
+            dwT = blk[di]
+            blk[di] = (dwT[:, :, None] * eye[:, None, :]).reshape(F, ksize * ksize * F)
+            nbs.append(tuple(blk))
+        blocks = tuple(nbs)
+
+    x = x.astype(band_dtype)
+    if aux is not None:
+        aux = aux.astype(band_dtype)
     in_arrays = [x] + ([aux] if aux is not None else [])
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * len(in_arrays)
     flat_params = []
@@ -479,26 +641,30 @@ def fused_convnext_chain(
         )
         out_shapes.append(jax.ShapeDtypeStruct((h_img * co, wl), out_dtype))
 
-    scratch = [pltpu.VMEM(((tile_h + 2 * halos[0]) * cx, wl), jnp.bfloat16)]
+    scratch = [pltpu.VMEM(((tile_h + 2 * halos[0]) * cx, wl), band_dtype)]
     if upsample_input:
         rows_lo = min(tile_h // 2 + halos[0] + 2, h_lo)
-        scratch.append(pltpu.VMEM((rows_lo, cx, wl), jnp.bfloat16))
+        scratch.append(pltpu.VMEM((rows_lo, cx, wl), band_dtype))
     if aux_c:
         scratch.append(
-            pltpu.VMEM((tile_h + 2 * halos[1], aux_c, wl), jnp.bfloat16)
+            pltpu.VMEM((tile_h + 2 * halos[1], aux_c, wl), band_dtype)
         )
     for b in range(nb):
         scratch.append(
-            pltpu.VMEM(((tile_h + 2 * halos[b + 1]) * F, wl), jnp.bfloat16)
+            pltpu.VMEM(((tile_h + 2 * halos[b + 1]) * F, wl), band_dtype)
         )
     # shared proj band (sized for the largest proj input band)
     if any(has_proj):
         mx = max(tile_h + 2 * halos[b] for b in range(nb) if has_proj[b])
-        scratch.append(pltpu.VMEM((mx * F, wl), jnp.bfloat16))
+        scratch.append(pltpu.VMEM((mx * F, wl), band_dtype))
+    if dw_impl == "mxu":
+        scratch.append(
+            pltpu.VMEM(((dw_rows + ksize - 1) * ksize * F, wl), band_dtype)
+        )
     scratch.append(pltpu.SemaphoreType.DMA)
 
     flat_params = [
-        (p.astype(jnp.bfloat16) if p.ndim == 2 and p.shape[-1] > 1 and p.shape[-1] != 49 else p.astype(jnp.float32))
+        (p.astype(band_dtype) if p.ndim == 2 and p.shape[-1] > 1 and p.shape[-1] != 49 else p.astype(jnp.float32))
         for p in flat_params
     ]
 

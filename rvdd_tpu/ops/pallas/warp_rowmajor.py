@@ -80,9 +80,9 @@ def _warp_kernel(
     # zeroed once so 0 * garbage can't produce NaN
     @pl.when((i == 0) & (g == 0))
     def _zero_fringe():
-        win_ref[0:th] = jnp.zeros((th, kc, wlp), jnp.bfloat16)
+        win_ref[0:th] = jnp.zeros((th, kc, wlp), win_ref.dtype)
         win_ref[th + rows_win : 2 * th + rows_win] = jnp.zeros(
-            (th, kc, wlp), jnp.bfloat16
+            (th, kc, wlp), win_ref.dtype
         )
 
     copy = pltpu.make_async_copy(
@@ -250,8 +250,11 @@ def warp_planar_pallas(
         th -= 8
     assert th >= 8 and h_img % th == 0
     rc = 8
-    tc = min(tile_c, wl)
-    assert wl % tc == 0
+    # largest 128-multiple divisor of wl that is <= tile_c (min() alone
+    # fails for lane counts like 640 that are 128- but not tile_c-multiples)
+    tc = next(
+        t for t in range(min(tile_c, wl) // 128 * 128, 0, -128) if wl % t == 0
+    )
     n_tiles = h_img // th
     l0 = 64
     wlp = wl + 128
@@ -261,7 +264,10 @@ def warp_planar_pallas(
     pad_y = d_max + 3
     rows_win = min(th + 2 * pad_y, h_img)
 
-    x3 = x.reshape(h_img, c, wl).astype(jnp.bfloat16)
+    # fp32 planar inputs stay fp32 end-to-end (accurate mode); everything
+    # else drops to bf16 for half the DMA/VMEM traffic
+    win_dtype = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
+    x3 = x.reshape(h_img, c, wl).astype(win_dtype)
 
     u = jnp.clip(flow[..., 0], -max_disp, max_disp)
     v = jnp.clip(flow[..., 1], -max_disp, max_disp)
@@ -310,7 +316,7 @@ def warp_planar_pallas(
                 pltpu.VMEM((d_max, th, wl), jnp.float32),
                 pltpu.VMEM((2 * eh + 1, th, wl), jnp.float32),
                 pltpu.SMEM((2,), jnp.int32),
-                pltpu.VMEM((rows_win + 2 * th, kc, wlp), jnp.bfloat16),
+                pltpu.VMEM((rows_win + 2 * th, kc, wlp), win_dtype),
                 pltpu.SemaphoreType.DMA,
             ],
             compiler_params=pltpu.CompilerParams(

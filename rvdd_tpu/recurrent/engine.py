@@ -60,6 +60,10 @@ class EngineConfig:
     #: 'xla' (flax apply, any backend) or 'fused' (Pallas fused conv-chain
     #: forward for supported ConvUNet configs, TPU inference fast path)
     net_impl: str = "xla"
+    #: fused-path numerics preset (models/fast_unet.py:FUSED_PRECISIONS):
+    #: 'fast' (bf16 storage, 1-pass MXU), 'mixed' (fp32 storage, 1-pass),
+    #: 'accurate' (fp32 storage, 3-pass MXU ~ fp32)
+    fused_precision: str = "fast"
 
     @property
     def d(self) -> int:  # number of previous frames fed to the net
@@ -130,12 +134,12 @@ def _planar_wl(w: int) -> int:
     return -(-(w + 1) // 512) * 512
 
 
-def _frame_to_planar(x: jnp.ndarray, wl: int, c_to: int) -> jnp.ndarray:
-    """[H, W, C] -> [H, c_to, WL] bf16 (zero channel/lane pad)."""
+def _frame_to_planar(x: jnp.ndarray, wl: int, c_to: int, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """[H, W, C] -> [H, c_to, WL] (zero channel/lane pad)."""
     h, w, c = x.shape
     p = jnp.transpose(x, (0, 2, 1))
     p = jnp.pad(p, ((0, 0), (0, c_to - c), (0, wl - w)))
-    return p.astype(jnp.bfloat16)
+    return p.astype(dtype)
 
 
 def _fused_state_c(cfg: EngineConfig) -> int:
@@ -143,11 +147,18 @@ def _fused_state_c(cfg: EngineConfig) -> int:
     return 8 + (48 if cfg.feature_rec else 0)
 
 
+def _fused_band_dtype(cfg: EngineConfig):
+    from rvdd_tpu.models.fast_unet import FUSED_PRECISIONS
+
+    return FUSED_PRECISIONS[cfg.fused_precision]["band_dtype"]
+
+
 def _init_state_planar(cfg: EngineConfig, frames: jnp.ndarray) -> RecurrentState:
     b, _, h, w, _ = frames.shape
     wl = _planar_wl(w)
     cf = _fused_state_c(cfg)
-    prev = jax.vmap(lambda f: _frame_to_planar(f, wl, cf))(frames[:, 0])
+    bd = _fused_band_dtype(cfg)
+    prev = jax.vmap(lambda f: _frame_to_planar(f, wl, cf, bd))(frames[:, 0])
     return RecurrentState(prev.reshape(b, h * cf, wl), None)
 
 
@@ -179,13 +190,14 @@ def step(
     cur: jnp.ndarray,  # [B, H, W, C] current noisy frame
     future: Optional[jnp.ndarray],  # [B, fD, H, W, C] future noisy frames
     flows: Optional[jnp.ndarray],  # [B, D+fD, H, W, 2] flows to current time
+    packed=None,  # fused path: pre-packed params (fused_pack), else packed here
 ) -> Tuple[jnp.ndarray, RecurrentState]:
     """One denoising step (= one unrolling).
 
     Returns (denoised [B, H, W, C_out], next state).
     """
     if cfg.net_impl == "fused":
-        return _fast_planar_step(cfg, net, params, state, cur, future, flows)
+        return _fast_planar_step(cfg, net, params, state, cur, future, flows, packed)
     d = cfg.d
     sd = jnp.bfloat16 if cfg.state_dtype == "bfloat16" else jnp.float32
     cur = cur.astype(sd)
@@ -234,6 +246,34 @@ def step(
     return denoised, RecurrentState(lastden, feat)
 
 
+def _fused_impl(net):
+    """(fast_forward_planar, pack_fast_params, supports_fast_path) for net."""
+    from rvdd_tpu.models.convnext_unet import ConvNeXtUNet
+
+    if isinstance(net, ConvNeXtUNet):
+        from rvdd_tpu.models.fast_convnext import (
+            fast_forward_planar_cnx,
+            pack_fast_cnx,
+            supports_fast_path_cnx,
+        )
+
+        return fast_forward_planar_cnx, pack_fast_cnx, supports_fast_path_cnx
+    from rvdd_tpu.models.fast_unet import (
+        fast_forward_planar,
+        pack_fast_params,
+        supports_fast_path,
+    )
+
+    return fast_forward_planar, pack_fast_params, supports_fast_path
+
+
+def fused_pack(cfg: EngineConfig, net, params):
+    """One-time weight repack for the fused path; pass the result to
+    step/inference_step/scan_video so the repack isn't re-traced per step."""
+    _, pack, _ = _fused_impl(net)
+    return pack(params, cfg.feature_rec, cfg.network_input_nc)
+
+
 def _fast_planar_step(
     cfg: EngineConfig,
     net,
@@ -242,6 +282,7 @@ def _fast_planar_step(
     cur: jnp.ndarray,  # [B, H, W, 3]
     future,  # [B, fD, H, W, 3] or None
     flows,  # [B, D+fD, H, W, 2] or None
+    packed=None,
 ) -> Tuple[jnp.ndarray, RecurrentState]:
     """TPU fast path: the whole step stays in row-major planar layout —
     the fused recurrence state ([den | pad | feat] channel blocks) is warped
@@ -250,72 +291,65 @@ def _fast_planar_step(
     Semantics match the generic step (bf16 fast-inference tolerance)."""
     from rvdd_tpu.models.fast_unet import from_planar
     from rvdd_tpu.ops.pallas.warp_rowmajor import warp_planar_pallas
-    from rvdd_tpu.models.unet import ConvUNet
-    from rvdd_tpu.models.convnext_unet import ConvNeXtUNet
 
-    if cfg.d != 1 or cfg.warp_raw or cfg.no_predemosaic:
+    if cfg.d != 1 or cfg.warp_raw or cfg.no_predemosaic or cfg.output_nc != 3:
         raise NotImplementedError(
             "net_impl='fused' supports model_patch_depth=2, RGB pre-demosaic,"
-            " frame-domain warping"
+            " frame-domain warping, output_nc=3"
         )
     b, h, w, _ = cur.shape
-    if isinstance(net, ConvNeXtUNet):
-        from rvdd_tpu.models.fast_convnext import (
-            fast_forward_planar_cnx as fast_forward_planar,
-            pack_fast_cnx as pack_fast_params,
-            supports_fast_path_cnx as supports_fast_path,
-        )
-    else:
-        from rvdd_tpu.models.fast_unet import (
-            fast_forward_planar,
-            pack_fast_params,
-            supports_fast_path,
-        )
+    fast_forward_planar, pack_fast_params, supports_fast_path = _fused_impl(net)
     if not supports_fast_path(net, h, w):
         raise ValueError(
             f"net_impl='fused': no fast path for {type(net).__name__} at {h}x{w}"
         )
     wl = _planar_wl(w)
     cf = _fused_state_c(cfg)
+    bd = _fused_band_dtype(cfg)
     in_nc = cfg.network_input_nc
     in_pad = -(-in_nc // 8) * 8
-    packed = pack_fast_params(params, cfg.feature_rec, in_nc)
+    if packed is None:
+        packed = pack_fast_params(params, cfg.feature_rec, in_nc)
 
     dens = []
     fused_next = []
     for bi in range(b):
-        fused = state.lastden[bi]  # [(H*cf), WL] bf16
+        fused = state.lastden[bi]  # [(H*cf), WL] band dtype
         if cfg.no_warp or flows is None:
             warped = fused
         else:
-            warped = warp_planar_pallas(fused, flows[bi, 0], h_img=h, w_img=w)
+            warped = warp_planar_pallas(
+                fused, flows[bi, 0], h_img=h, w_img=w, out_dtype=bd
+            )
         w3 = warped.reshape(h, cf, wl)
-        curp = _frame_to_planar(cur[bi], wl, 3)
+        curp = _frame_to_planar(cur[bi], wl, 3, bd)
         parts = [w3[:, :3], curp]
         for k in range(cfg.future_patch_depth):
-            fp = _frame_to_planar(future[bi, k], wl, 8)
+            fp = _frame_to_planar(future[bi, k], wl, 8, bd)
             if not cfg.no_warp and flows is not None:
                 fp = warp_planar_pallas(
-                    fp.reshape(h * 8, wl), flows[bi, 1 + k], h_img=h, w_img=w
+                    fp.reshape(h * 8, wl), flows[bi, 1 + k], h_img=h, w_img=w,
+                    out_dtype=bd,
                 ).reshape(h, 8, wl)
             parts.append(fp[:, :3])
         if in_pad > in_nc:
-            parts.append(jnp.zeros((h, in_pad - in_nc, wl), jnp.bfloat16))
+            parts.append(jnp.zeros((h, in_pad - in_nc, wl), bd))
         xp = jnp.concatenate(parts, axis=1).reshape(h * in_pad, wl)
 
         aux = warped if cfg.feature_rec else None
         out_p, feat_p = fast_forward_planar(
             net, packed, xp, aux, h, w,
             aux_channels=(8, 48) if cfg.feature_rec else None,
+            precision=cfg.fused_precision,
         )
         dens.append(from_planar(out_p, h, w, c=3).astype(jnp.float32))
 
         den_part = curp if cfg.prev_noisy_frame else out_p.reshape(h, 8, wl)[:, :3]
-        blocks = [den_part, jnp.zeros((h, 5, wl), jnp.bfloat16)]
+        blocks = [den_part, jnp.zeros((h, 5, wl), bd)]
         if cfg.feature_rec:
             blocks.append(feat_p.reshape(h, 48, wl))
         fused_next.append(
-            jnp.concatenate(blocks, axis=1).reshape(h * cf, wl).astype(jnp.bfloat16)
+            jnp.concatenate(blocks, axis=1).reshape(h * cf, wl).astype(bd)
         )
 
     return jnp.stack(dens), RecurrentState(jnp.stack(fused_next), None)
@@ -334,6 +368,7 @@ def unrolled_forward(
     [B, TD_active, H, W, C_out] (reference: recurrent_model.py:161-349)."""
     d = cfg.d
     state = init_state(cfg, frames, nil_feat)
+    packed = fused_pack(cfg, net, params) if cfg.net_impl == "fused" else None
     outs = []
     for a in range(unrollings):
         cur = frames[:, a + d]
@@ -343,7 +378,7 @@ def unrolled_forward(
             else None
         )
         fl = flows[:, a] if flows is not None else None
-        den, state = step(cfg, net, params, state, cur, future, fl)
+        den, state = step(cfg, net, params, state, cur, future, fl, packed)
         outs.append(den)
     return jnp.stack(outs, axis=1)
 
@@ -356,6 +391,7 @@ def inference_step(
     frames: jnp.ndarray,  # [B, D+1+fD, H, W, C] window ending at current frame
     flows: Optional[jnp.ndarray],  # [B, D+fD, H, W, 2]
     nil_feat=None,
+    packed=None,
 ) -> Tuple[jnp.ndarray, RecurrentState]:
     """Single-frame inference with carried state.
 
@@ -368,7 +404,7 @@ def inference_step(
         state = init_state(cfg, frames, nil_feat)
     cur = frames[:, d]
     future = frames[:, d + 1 :] if cfg.future_patch_depth else None
-    return step(cfg, net, params, state, cur, future, flows)
+    return step(cfg, net, params, state, cur, future, flows, packed)
 
 
 def scan_video(
@@ -386,29 +422,36 @@ def scan_video(
     """
     t_total = frames.shape[0]
     d, fd = cfg.d, cfg.future_patch_depth
+    # pack fused weights once OUTSIDE the scan body (the repack must not
+    # rely on XLA loop-invariant code motion to stay out of the loop)
+    packed = fused_pack(cfg, net, params) if cfg.net_impl == "fused" else None
 
     # pad so every frame has a full window: replicate first/last frames,
-    # zero flows at the edges (= reference behaviour for missing flows)
+    # zero flows at the edges (= reference behaviour for missing flows).
+    # The window is sliced INSIDE the scan body (dynamic_slice on the
+    # padded clip), so peak memory is O(clip + one window), not
+    # (D+1+fD) x clip as a materialized windows stack would be.
+    win_t = d + 1 + fd
     pad_front = jnp.repeat(frames[:1], d, axis=0)
     pad_back = jnp.repeat(frames[-1:], fd, axis=0) if fd else frames[:0]
     padded = jnp.concatenate([pad_front, frames, pad_back], axis=0)
-    windows = jnp.stack(
-        [padded[i : i + t_total] for i in range(d + 1 + fd)], axis=1
-    )  # [T, D+1+fD, B, H, W, C]
 
-    state0 = init_state(cfg, jnp.swapaxes(windows[0], 0, 1), nil_feat)
+    state0 = init_state(cfg, jnp.swapaxes(padded[:win_t], 0, 1), nil_feat)
 
     def body(state, inp):
-        win, fl = inp
+        t, fl = inp
+        win = jax.lax.dynamic_slice_in_dim(padded, t, win_t, axis=0)
         win = jnp.swapaxes(win, 0, 1)  # [B, D+1+fD, ...]
-        den, state = inference_step(cfg, net, params, state, win, fl, nil_feat)
+        den, state = inference_step(
+            cfg, net, params, state, win, fl, nil_feat, packed
+        )
         return state, den
 
-    flows_seq = flows if flows is not None else [None] * 0
+    ts = jnp.arange(t_total, dtype=jnp.int32)
     if flows is None:
-        _, dens = jax.lax.scan(lambda s, w: body(s, (w, None)), state0, windows)
+        _, dens = jax.lax.scan(lambda s, t: body(s, (t, None)), state0, ts)
     else:
-        _, dens = jax.lax.scan(body, state0, (windows, flows))
+        _, dens = jax.lax.scan(body, state0, (ts, flows))
     return dens  # [T, B, H, W, C_out]
 
 

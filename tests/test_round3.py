@@ -1,0 +1,166 @@
+"""Round-3 features: registry model resolution, multi-host plumbing,
+fused precision presets, scan window memory layout."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rvdd_tpu.config import Options
+from rvdd_tpu.recurrent.engine import EngineConfig
+
+
+def test_engine_config_resolves_through_registry():
+    opt = Options().finalize()
+    cfg = opt.engine_config()
+    assert isinstance(cfg, EngineConfig)
+    opt2 = Options(model="no_such_model").finalize()
+    with pytest.raises(KeyError, match="no_such_model"):
+        opt2.engine_config()
+
+
+def test_registered_model_factory_is_used():
+    from rvdd_tpu import registry
+
+    calls = {}
+
+    def factory(**kw):
+        calls.update(kw)
+        return EngineConfig(**kw)
+
+    registry.register_model("custom_rec", factory)
+    try:
+        opt = Options(model="custom_rec", future_patch_depth=1).finalize()
+        cfg = opt.engine_config()
+        assert cfg.future_patch_depth == 1
+        assert calls["future_patch_depth"] == 1
+    finally:
+        registry._MODELS.pop("custom_rec", None)
+
+
+def test_distributed_flag_calls_jax_distributed_initialize(monkeypatch, tmp_path):
+    """--distributed must reach jax.distributed.initialize() (the actual
+    multi-host handshake can't run on one host; pin the plumbing)."""
+    from rvdd_tpu.training import loop
+
+    called = {}
+
+    class _Abort(Exception):
+        pass
+
+    def fake_init(*a, **k):
+        called["yes"] = True
+        raise _Abort
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+    opt = Options(
+        distributed=True, checkpoints_dir=str(tmp_path), dataroot=str(tmp_path)
+    ).finalize()
+    with pytest.raises(_Abort):
+        loop.train(opt)
+    assert called.get("yes")
+
+
+def test_fused_precision_presets_complete():
+    from rvdd_tpu.models.fast_unet import FUSED_PRECISIONS
+
+    for name in ("fast", "mixed", "accurate"):
+        p = FUSED_PRECISIONS[name]
+        assert set(p) == {"band_dtype", "mxu_precision", "gelu_exact"}
+    assert FUSED_PRECISIONS["fast"]["band_dtype"] == jnp.bfloat16
+    assert FUSED_PRECISIONS["accurate"]["band_dtype"] == jnp.float32
+    # Mosaic supports only DEFAULT/HIGHEST in-kernel dot precisions
+    assert FUSED_PRECISIONS["accurate"]["mxu_precision"] == "highest"
+
+
+def test_erf_poly_matches_scipy():
+    from scipy.special import erf as scipy_erf
+
+    from rvdd_tpu.ops.pallas.convnext_pallas import _erf
+
+    x = jnp.asarray(np.linspace(-5, 5, 4001, dtype=np.float32))
+    got = np.asarray(_erf(x))
+    assert np.abs(got - scipy_erf(np.asarray(x))).max() < 5e-7
+
+
+@pytest.mark.slow
+def test_fused_conv_chain_fp32_bands_interpret():
+    """fp32 band storage must match the XLA conv chain closely (the fused
+    'accurate' mode path), tested via the interpreter."""
+    from rvdd_tpu.ops.pallas.conv_pallas import fused_conv_chain, pack_weight
+
+    rng = np.random.default_rng(0)
+    h, w, wl = 16, 48, 128
+    cin = 8
+    x = rng.standard_normal((h, w, cin)).astype(np.float32) * 0.5
+    k1 = rng.standard_normal((3, 3, cin, 16)).astype(np.float32) * 0.2
+    b1 = rng.standard_normal(16).astype(np.float32) * 0.1
+    k2 = rng.standard_normal((3, 3, 16, 8)).astype(np.float32) * 0.2
+    b2 = rng.standard_normal(8).astype(np.float32) * 0.1
+
+    def xla_ref():
+        y = jax.lax.conv_general_dilated(
+            jnp.asarray(x)[None], jnp.asarray(k1), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b1
+        y = jnp.maximum(y, 0)
+        y = jax.lax.conv_general_dilated(
+            y, jnp.asarray(k2), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b2
+        return np.asarray(y[0])
+
+    xp = jnp.pad(
+        jnp.transpose(jnp.asarray(x), (0, 2, 1)), ((0, 0), (0, 0), (0, wl - w))
+    ).reshape(h * cin, wl)
+    outs = fused_conv_chain(
+        xp.astype(jnp.float32),
+        (pack_weight(jnp.asarray(k1)), pack_weight(jnp.asarray(k2))),
+        (jnp.asarray(b1), jnp.asarray(b2)),
+        ("relu", "none"),
+        (3, 3),
+        h_img=h,
+        w_img=w,
+        emit=(1,),
+        band_dtype=jnp.float32,
+        mxu_precision="highest",
+        out_dtype=jnp.float32,
+        interpret=True,
+    )
+    got = np.asarray(outs[0]).reshape(h, 8, wl)[:, :, :w].transpose(0, 2, 1)
+    ref = xla_ref()
+    assert np.abs(got - ref).max() < 1e-4
+
+
+@pytest.mark.slow
+def test_scan_video_fused_packed_outside_body(monkeypatch):
+    """fused_pack result must be reusable across steps (ADVICE round 2)."""
+    import jax.experimental.pallas as pl_mod
+    import rvdd_tpu.ops.pallas.conv_pallas as cp
+    import rvdd_tpu.ops.pallas.warp_rowmajor as wr
+
+    for mod in (cp, wr):
+        orig = pl_mod.pallas_call
+
+        def patched(*a, _orig=orig, **k):
+            k["interpret"] = True
+            return _orig(*a, **k)
+
+        monkeypatch.setattr(mod.pl, "pallas_call", patched)
+    from rvdd_tpu.models import build_network
+    from rvdd_tpu.models.factory import init_network
+    from rvdd_tpu.recurrent.engine import fused_pack, inference_step
+
+    cfg = EngineConfig(
+        model_patch_depth=2, patch_depth=5, net_impl="fused",
+        warp_impl="xla", no_warp=True,
+    )
+    net = build_network("convunet-mode=fixedfeatures", cfg.network_input_nc, 3, False)
+    params = init_network(net, jax.random.PRNGKey(0), (1, 64, 64, cfg.network_input_nc))
+    packed = fused_pack(cfg, net, params)
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.uniform(-1, 1, (1, 2, 64, 64, 3)).astype(np.float32))
+    den1, st = inference_step(cfg, net, params, None, frames, None, packed=packed)
+    den2, _ = inference_step(cfg, net, params, st, frames, None, packed=packed)
+    assert den1.shape == (1, 64, 64, 3)
+    assert np.isfinite(np.asarray(den2)).all()

@@ -1,0 +1,93 @@
+"""ConvNeXt fused-chain kernel microbenchmarks at 1080p (real TPU).
+
+Times one full-res 2-block chain and a single-block chain under both
+depthwise engines (vpu sweep vs mxu im2col dot) and dw_rows settings, so
+kernel work targets the measured bottleneck.
+
+    python tools/cnx_chain_bench.py
+"""
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rvdd_tpu.ops.pallas.convnext_pallas import fused_convnext_chain
+
+F = 48
+
+
+def timeit(fn, *args, iters=20, warmup=2):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.tree_util.tree_map(
+        lambda a: float(jnp.sum(a.ravel()[:2].astype(jnp.float32))), out
+    )
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.tree_util.tree_map(
+        lambda a: float(jnp.sum(a.ravel()[:2].astype(jnp.float32))), out
+    )
+    return (time.perf_counter() - t0) / iters
+
+
+def mkblock(rng, cin, proj):
+    def t(*s):
+        return jnp.asarray((rng.standard_normal(s) * 0.05).astype(np.float32))
+
+    arrs = []
+    if proj:
+        arrs += [t(F, cin), t(F, 1)]
+    arrs += [t(F, 49), t(F, 1), t(F, 1) + 1.0, t(F, 1),
+             t(4 * F, F), t(4 * F, 1), t(F, 4 * F), t(F, 1), t(F, 1)]
+    return tuple(arrs)
+
+
+def main():
+    h, w = 1080, 1920
+    wl = 2048
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        (rng.standard_normal((h * F, wl)) * 0.2).astype(np.float32)
+    ).astype(jnp.bfloat16)
+
+    import sys
+
+    if "--attrib" in sys.argv:
+        # cost attribution: skip one stage at a time (mxu rows=8)
+        blocks = tuple(mkblock(rng, F, False) for _ in range(1))
+        hps = (False,)
+        for skip in ((), ("dw",), ("ln",), ("gelu",), ("pw",),
+                     ("dw", "ln", "gelu", "pw")):
+            fn = jax.jit(
+                lambda x, b=blocks, hp=hps, sk=skip: fused_convnext_chain(
+                    x, b, hp, h_img=h, w_img=w, emit=(0,), dw_rows=8,
+                    debug_skip=sk,
+                )
+            )
+            t = timeit(fn, x)
+            print(f"1x block 1080p skip={','.join(skip) or 'none':16s} {1e3*t:7.2f} ms")
+        return
+
+    for nb in (1, 2):
+        blocks = tuple(mkblock(rng, F, False) for _ in range(nb))
+        hps = (False,) * nb
+        for impl, rows_opts in (("vpu", (0,)), ("mxu", (2, 4, 8))):
+            for dr in rows_opts:
+                kw = dict(dw_impl=impl)
+                if dr:
+                    kw["dw_rows"] = dr
+                fn = jax.jit(
+                    lambda x, b=blocks, hp=hps, kw=kw: fused_convnext_chain(
+                        x, b, hp, h_img=h, w_img=w, emit=(len(b) - 1,), **kw
+                    )
+                )
+                t = timeit(fn, x)
+                label = impl + (f" rows={dr}" if dr else "")
+                print(f"chain {nb}x block 48ch 1080p [{label}]  {1e3*t:7.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
