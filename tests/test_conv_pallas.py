@@ -12,9 +12,6 @@ from rvdd_tpu.ops.pallas.conv_pallas import (
     pack_weight,
 )
 
-pytestmark = pytest.mark.fast
-
-
 def to_planar(x_nhwc, wl):
     """[1, H, W, C] -> [(H*C), WL] with zero lane padding."""
     _, h, w, c = x_nhwc.shape

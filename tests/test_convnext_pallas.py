@@ -10,9 +10,6 @@ from rvdd_tpu.models.convnext_unet import ConvNeXtBlock
 from rvdd_tpu.ops.pallas.convnext_pallas import fused_convnext_chain, pack_block
 from rvdd_tpu.ops.pallas.conv_pallas import lane_width
 
-pytestmark = pytest.mark.fast
-
-
 def to_planar(x, wl):
     _, h, w, c = x.shape
     p = jnp.transpose(x[0], (0, 2, 1))
@@ -49,6 +46,7 @@ def check(got_p, want, h, w, c=48, tol=0.1):
     assert err < tol, f"normalized max err {err}"
 
 
+@pytest.mark.slow
 def test_single_block_no_proj():
     rng = np.random.default_rng(0)
     h, w = 16, 40
@@ -79,6 +77,7 @@ def test_block_with_proj():
     check(got, want, h, w)
 
 
+@pytest.mark.slow
 def test_chain_aux_and_tail():
     """pre-block -> concat aux -> proj block -> block -> 1x1 head
     (the newunet+feat pattern), multi-emit."""

@@ -14,10 +14,10 @@ from rvdd_tpu.models.fast_unet import (
     supports_fast_path,
 )
 
-pytestmark = pytest.mark.fast
-
-
-@pytest.mark.parametrize("feat_rec", [False, True])
+@pytest.mark.parametrize(
+    "feat_rec",
+    [pytest.param(False, marks=pytest.mark.slow), True],
+)
 def test_fast_forward_parity(feat_rec):
     h = w = 32
     in_nc = 6
@@ -27,9 +27,9 @@ def test_fast_forward_parity(feat_rec):
     params = init_network(net, jax.random.PRNGKey(0), (1, h, w, in_nc))
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.uniform(-1, 1, (2, h, w, in_nc)).astype(np.float32))
+    x = jnp.asarray(rng.uniform(-1, 1, (1, h, w, in_nc)).astype(np.float32))
     feat = (
-        jnp.asarray(rng.uniform(-1, 1, (2, h, w, 48)).astype(np.float32))
+        jnp.asarray(rng.uniform(-1, 1, (1, h, w, 48)).astype(np.float32))
         if feat_rec
         else None
     )

@@ -91,6 +91,7 @@ def _build(opt):
     return cfg, net, params
 
 
+@pytest.mark.slow
 def test_validation_jit_cache_survives_calls(val_root):
     """Second compute_validation call must add zero new jit entries."""
     from rvdd_tpu.training import loop as L
@@ -107,6 +108,7 @@ def test_validation_jit_cache_survives_calls(val_root):
     np.testing.assert_allclose(r1["Denoiser_valLoss"], r2["Denoiser_valLoss"], rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_val_pad_multiple_buckets_shapes(val_root):
     """Padded validation runs, and frame sizes in the same bucket share one
     jit specialization."""
@@ -129,6 +131,7 @@ def test_val_pad_multiple_buckets_shapes(val_root):
     assert L._val_step._cache_size() - before == grew
 
 
+@pytest.mark.slow
 def test_scan_validation_close_to_stepwise(val_root):
     """--val_scan scores the same frames; values differ only through the
     denoised-prev start (small for random nets on random data)."""

@@ -7,7 +7,10 @@ import pytest
 from rvdd_tpu.ops.tvl1 import tvl1_flow, to_gray, gaussian_smooth, TVL1Params
 
 
-@pytest.mark.parametrize("case", ["tiny", "small"])
+@pytest.mark.parametrize(
+    "case",
+    ["tiny", pytest.param("small", marks=pytest.mark.slow)],
+)
 def test_flow_matches_c_golden(golden, case):
     g = golden("tvl1")
     i0 = g[f"{case}_i0"]
@@ -32,6 +35,7 @@ def test_to_gray_conventions(rng):
     np.testing.assert_allclose(np.asarray(to_gray(jnp.asarray(raw))), raw.mean(-1), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_odd_sizes_run():
     rng = np.random.default_rng(7)
     i0 = rng.uniform(0, 255, (37, 51)).astype(np.float32)
@@ -41,6 +45,7 @@ def test_odd_sizes_run():
     assert np.isfinite(out).all()
 
 
+@pytest.mark.slow
 def test_zero_motion_flow_is_small():
     rng = np.random.default_rng(8)
     from scipy.ndimage import gaussian_filter

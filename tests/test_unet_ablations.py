@@ -10,10 +10,10 @@ import jax.numpy as jnp
 from rvdd_tpu.models import build_network
 from rvdd_tpu.models.factory import init_network
 
-pytestmark = pytest.mark.fast
-
-
-@pytest.mark.parametrize("k", [2, 3, 4])
+@pytest.mark.parametrize(
+    "k",
+    [2, pytest.param(3, marks=pytest.mark.slow), pytest.param(4, marks=pytest.mark.slow)],
+)
 def test_transposedconv_matches_torch(k):
     torch = pytest.importorskip("torch")
     rng = np.random.default_rng(0)
@@ -46,10 +46,24 @@ def test_transposedconv_matches_torch(k):
 @pytest.mark.parametrize(
     "arch",
     [
-        "convunet-mode=fixedfeatures-upsampling_mode=transposedconv4",
-        "convunet-mode=fixedfeatures-upsampling_mode=transposedconv3",
-        "convunet-mode=fixedfeatures-normalization=instance",
-        "convunet-mode=fixedfeatures-bottleneck_dilation=true",
+        # op-level torch-parity tests cover the pieces in the fast set;
+        # the full-forward sweep is slow-suite
+        pytest.param(
+            "convunet-mode=fixedfeatures-normalization=instance",
+            marks=pytest.mark.slow,
+        ),
+        pytest.param(
+            "convunet-mode=fixedfeatures-upsampling_mode=transposedconv4",
+            marks=pytest.mark.slow,
+        ),
+        pytest.param(
+            "convunet-mode=fixedfeatures-upsampling_mode=transposedconv3",
+            marks=pytest.mark.slow,
+        ),
+        pytest.param(
+            "convunet-mode=fixedfeatures-bottleneck_dilation=true",
+            marks=pytest.mark.slow,
+        ),
     ],
 )
 def test_ablation_forward_shapes(arch):

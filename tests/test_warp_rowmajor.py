@@ -9,9 +9,6 @@ import jax.numpy as jnp
 from rvdd_tpu.ops.warp import warp
 from rvdd_tpu.ops.pallas.warp_rowmajor import warp_planar_pallas
 
-pytestmark = pytest.mark.fast
-
-
 def planar(x):  # [1, H, W, C] -> [(H*C), WL]
     _, h, w, c = x.shape
     wl = -(-(w + 1) // 128) * 128
