@@ -107,6 +107,8 @@ def _cnx_kernel(
     gelu_exact: bool,
     dw_mxu: bool,
     dw_rows: int,
+    dw_group: int,
+    ln_impl: str,
     debug_skip: tuple,
 ):
     r_half = ksize // 2
@@ -357,6 +359,13 @@ def _cnx_kernel(
                 # clamp the last group so it overlaps instead of overrunning
                 # (rewrites are idempotent: rows are pure fns of src_band)
                 r0 = jnp.minimum(gi * rb, rows_out - rb)
+                # group-major stack: row (cg * n_dy*ksize + t) * gw + c,
+                # so each channel group's planes are t-contiguous and the
+                # per-group dense dot contracts K = 49*gw only (the dense
+                # dw dot's redundancy is gw x, not 48x)
+                gw = dw_group
+                n_cg = F // gw
+                tpg = n_dy * ksize  # planes per group
                 for dy in range(n_dy):
                     row = src_band[
                         pl.ds(pl.multiple_of((r0 + dy) * F, 8), F), :
@@ -370,58 +379,99 @@ def _cnx_kernel(
                             seg = jnp.concatenate(
                                 [row[:, sft:], row[:, :sft]], axis=1
                             )
-                        pat[t * F : (t + 1) * F, :] = seg
+                        for cg in range(n_cg):
+                            pat[
+                                (cg * tpg + t) * gw : (cg * tpg + t + 1) * gw, :
+                            ] = seg[cg * gw : (cg + 1) * gw]
+                # inter-op storage dtype: f32 measured faster than bf16
+                # (the extra casts outweigh the VPU-stream bandwidth saved)
+                it = jnp.float32
                 if "dw" in debug_skip:
                     acc = jnp.broadcast_to(
-                        dw_b, (F, rb * wl)
-                    ).astype(jnp.float32) + pat[:F, :1]
+                        dw_b.astype(it), (F, rb * wl)
+                    ) + pat[:F, :1]
                 else:
                     dws = [
-                        jax.lax.dot_general(
-                            dwd,
-                            pat[j * ksize * F : (j + ksize) * ksize * F, :],
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=precision,
+                        jnp.concatenate(
+                            [
+                                jax.lax.dot_general(
+                                    dwd[cg * gw : (cg + 1) * gw, :],
+                                    pat[
+                                        (cg * tpg + j * ksize) * gw
+                                        : (cg * tpg + (j + ksize) * ksize) * gw,
+                                        :,
+                                    ],
+                                    (((1,), (0,)), ((), ())),
+                                    # Mosaic matmul accumulators must be
+                                    # 32-bit; storage casts happen after
+                                    preferred_element_type=jnp.float32,
+                                    precision=precision,
+                                )
+                                for cg in range(n_cg)
+                            ],
+                            axis=0,
                         )
                         for j in range(rb)
                     ]
-                    acc = jnp.concatenate(dws, axis=1) + dw_b  # [F, rb*WL]
+                    acc = (jnp.concatenate(dws, axis=1) + dw_b).astype(it)
                 if "ln" in debug_skip:
                     hn = acc
+                elif ln_impl == "mxu":
+                    # channel stats as ones-dots (sublane reductions are
+                    # slow on the VPU); E[x^2]-u^2 form, fast mode only
+                    ones = jnp.full((8, F), 1.0 / F, band_dtype)
+                    ab = acc.astype(band_dtype)
+                    u = jax.lax.dot_general(
+                        ones, ab, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=precision,
+                    )[:1]
+                    ex2 = jax.lax.dot_general(
+                        ones, (acc * acc).astype(band_dtype),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=precision,
+                    )[:1]
+                    s2 = jnp.maximum(ex2 - u * u, 0.0)
+                    hn = ((acc.astype(jnp.float32) - u)
+                          * jax.lax.rsqrt(s2 + 1e-6))
+                    hn = (hn * ln_g + ln_b).astype(it)
                 else:
-                    # channel LayerNorm (biased variance, eps 1e-6)
-                    u = jnp.mean(acc, axis=0, keepdims=True)
-                    d = acc - u
+                    # channel LayerNorm (biased variance, eps 1e-6); stats
+                    # accumulate in f32 regardless of storage dtype
+                    a32 = acc.astype(jnp.float32)
+                    u = jnp.mean(a32, axis=0, keepdims=True)
+                    d = a32 - u
                     s2 = jnp.mean(d * d, axis=0, keepdims=True)
                     hn = d * jax.lax.rsqrt(s2 + 1e-6)
-                    hn = hn * ln_g + ln_b
+                    hn = (hn * ln_g + ln_b).astype(it)
                 if "pw" in debug_skip:
                     h2 = hn
                 else:
-                    h1 = jax.lax.dot_general(
+                    h1 = (jax.lax.dot_general(
                         pw1, hn.astype(band_dtype), (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                         precision=precision,
-                    ) + pw1_b
+                    ) + pw1_b).astype(it)
                     if "gelu" not in debug_skip:
                         h1 = _gelu_erf(h1) if gelu_exact else jax.nn.gelu(
                             h1, approximate=True
                         )
-                    h2 = jax.lax.dot_general(
+                    h2 = (jax.lax.dot_general(
                         pw2, h1.astype(band_dtype), (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                         precision=precision,
-                    ) + pw2_b
+                    ) + pw2_b).astype(it)
                 for j in range(rb):
                     r = r0 + j
                     xc = src_band[
                         pl.ds(pl.multiple_of((r + r_half) * F, 8), F), :
-                    ].astype(jnp.float32)
-                    y = xc + ls * h2[:, j * wl : (j + 1) * wl]
+                    ]
+                    y = xc.astype(it) + (ls.astype(it)
+                                         * h2[:, j * wl : (j + 1) * wl])
                     g = i * th + r - h_out
-                    in_img = ((g >= 0) & (g < h_img)).astype(jnp.float32)
-                    y = y * (lane_mask * in_img)
+                    in_img = ((g >= 0) & (g < h_img)).astype(it)
+                    y = y * (lane_mask.astype(it) * in_img)
                     out_band[pl.ds(pl.multiple_of(r * F, 8), F), :] = (
                         y.astype(band_dtype)
                     )
@@ -500,8 +550,8 @@ PRECISIONS = {
     static_argnames=(
         "h_img", "w_img", "emit", "tile_h", "out_dtype", "aux_channels",
         "upsample_input", "ksize", "tail_couts", "has_proj", "band_dtype",
-        "mxu_precision", "gelu_exact", "dw_impl", "dw_rows", "debug_skip",
-        "interpret",
+        "mxu_precision", "gelu_exact", "dw_impl", "dw_rows", "dw_group",
+        "ln_impl", "debug_skip", "interpret",
     ),
 )
 def fused_convnext_chain(
@@ -523,7 +573,9 @@ def fused_convnext_chain(
     mxu_precision: str = "default",  # 'default' (1-pass bf16) | 'high'
     gelu_exact: bool = False,  # erf GELU (reference) vs tanh approximation
     dw_impl: str = "mxu",  # depthwise engine: 'mxu' (im2col dot) | 'vpu'
-    dw_rows: int = 4,  # output rows sharing one patch stack (mxu mode)
+    dw_rows: int = 8,  # output rows sharing one patch stack (mxu mode)
+    dw_group: int = 16,  # channels per dw dense dot (K = 49*group)
+    ln_impl: str = "vpu",  # LayerNorm stats: 'vpu' sublane reduce | 'mxu'
     debug_skip: tuple = (),  # profiling aid: skip {'dw','ln','gelu','pw'}
     interpret: bool = False,
 ):
@@ -559,12 +611,17 @@ def fused_convnext_chain(
     for b in range(nb - 1, -1, -1):
         halos[b] = halos[b + 1] + ksize // 2
 
-    if tile_h <= 0:
-        # pick the largest tile whose band scratch + double-buffered outputs
-        # fit the VMEM budget
+    auto_tile = tile_h <= 0
+    if auto_tile:
+        # pick (tile, dw_rows) jointly: feasibility = band scratch +
+        # double-buffered outputs + the live f32 group intermediates
+        # (acc/hn/h1/h2 at [48/48/192/48, dw_rows*wl] — they surface as
+        # register-spill VMEM, ~20M at dw_rows=8, and OOM if ignored);
+        # preference = least per-output-row work (halo overhead) scaled by
+        # the measured per-row cost of the dw_rows grouping.
         budget = 118 * 1024 * 1024
 
-        def est(t):
+        def est(t, rows):
             bands = sum((t + 2 * halos[b + 1]) * F for b in range(nb))
             bands += (t + 2 * halos[0]) * cx
             if upsample_input:
@@ -574,18 +631,30 @@ def fused_convnext_chain(
             if aux_c:
                 bands += (t + 2 * halos[1]) * aux_c
             if dw_impl == "mxu":
-                bands += (dw_rows + ksize - 1) * ksize * F
+                bands += (rows + ksize - 1) * ksize * F
             outs = 2 * t * (F * len(emit) + sum(tail_couts))
-            return (bands + outs) * wl * jnp.dtype(band_dtype).itemsize
+            vm = (bands + outs) * wl * jnp.dtype(band_dtype).itemsize
+            if dw_impl == "mxu":
+                vm += (3 * F + 4 * F) * rows * wl * 4  # f32 intermediates
+            return vm
 
-        tile_h = next(
-            (
-                t
-                for t in (72, 60, 54, 48, 40, 36, 32, 30, 24, 20, 18, 16, 12, 8)
-                if h_img % t == 0 and t > halos[0] and est(t) < budget
-            ),
-            h_img,
-        )
+        rowcost = {8: 0.93, 4: 1.0, 2: 1.12}
+        best = None
+        cands = tuple(r for r in (8, 4, 2) if r <= dw_rows) or (2,)
+        for rows in cands if dw_impl == "mxu" else (1,):
+            for t in (72, 60, 54, 48, 40, 36, 32, 30, 24, 20, 18, 16, 12, 8):
+                if h_img % t or t <= halos[0] or est(t, rows) >= budget:
+                    continue
+                bandrows = sum(t + 2 * halos[b + 1] for b in range(nb))
+                cost = bandrows / t * rowcost.get(rows, 1.0)
+                if best is None or cost < best[0]:
+                    best = (cost, t, rows)
+        if best is None:
+            tile_h, dw_rows = h_img, 2
+        else:
+            _, tile_h, dw_rows = best
+            if dw_impl != "mxu":
+                dw_rows = 1
     assert h_img % tile_h == 0 and tile_h > halos[0]
     n_tiles = h_img // tile_h
 
@@ -598,20 +667,25 @@ def fused_convnext_chain(
         tail_couts=tuple(tail_couts), out_dtype=out_dtype,
         band_dtype=band_dtype, precision=PRECISIONS[mxu_precision],
         gelu_exact=gelu_exact, dw_mxu=(dw_impl == "mxu"), dw_rows=dw_rows,
-        debug_skip=tuple(debug_skip),
+        dw_group=dw_group, ln_impl=ln_impl, debug_skip=tuple(debug_skip),
     )
 
     if dw_impl == "mxu":
-        # expand each [48, 49] per-channel tap matrix into the channel-
-        # block-diagonal dense [48, 49*48]: dwd[c, t*48 + c2] = dwT[c, t]
-        # iff c2 == c (matching the dy-major patch-stack plane order)
-        eye = jnp.eye(F, dtype=jnp.float32)
+        # expand each [48, 49] per-channel tap matrix into per-group
+        # block-diagonal dense matrices [48, 49*g]:
+        # dwd[cg_base + c, t*g + c2] = dwT[cg_base + c, t] iff c2 == c
+        # (matching the group-major patch-stack plane order)
+        assert F % dw_group == 0
+        g = dw_group
+        eye = jnp.eye(g, dtype=jnp.float32)
         nbs = []
         for blk, hp in zip(blocks, has_proj):
             blk = list(blk)
             di = 2 if hp else 0
-            dwT = blk[di]
-            blk[di] = (dwT[:, :, None] * eye[:, None, :]).reshape(F, ksize * ksize * F)
+            d3 = blk[di].reshape(F // g, g, ksize * ksize)
+            blk[di] = (
+                d3[:, :, :, None] * eye[None, :, None, :]
+            ).reshape(F, ksize * ksize * g)
             nbs.append(tuple(blk))
         blocks = tuple(nbs)
 

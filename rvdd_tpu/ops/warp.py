@@ -209,7 +209,31 @@ def flow_upsample_2x(flow: jnp.ndarray) -> jnp.ndarray:
     multiply_by=2 at models/recurrent_model.py:129).  Bilinear with
     align_corners=True, matching torch F.interpolate.
     """
-    from rvdd_tpu.ops.resize import resize_bilinear
+    import numpy as np
+
+    from rvdd_tpu.ops.resize import _axis_indices, resize_bilinear
 
     h, w = flow.shape[-3], flow.shape[-2]
+    c = flow.shape[-1]
+    if flow.ndim >= 3 and c <= 4:
+        # fast path: C is tiny, so the generic resize (C on the lane axis +
+        # two transposes) wastes 126/128 lanes and measures ~7 ms at 1080p.
+        # Keep [.., H, W*C] interleaved on lanes: rows are a static
+        # gather+lerp, columns one constant-matrix f32 MXU matmul whose
+        # interleaved rows carry the per-channel taps (<1 ms total).
+        lead = flow.shape[:-3]
+        x = flow.reshape(lead + (h, w * c)).astype(jnp.float32)
+        i0, i1, t = _axis_indices(h, 2 * h, True)
+        tj = jnp.asarray(t)[:, None]
+        x = x[..., i0, :] * (1.0 - tj) + x[..., i1, :] * tj
+        j0, j1, tw = _axis_indices(w, 2 * w, True)
+        m = np.zeros((w * c, 2 * w * c), np.float32)
+        for k in range(2 * w):
+            for ci in range(c):
+                m[j0[k] * c + ci, k * c + ci] += 1.0 - tw[k]
+                m[j1[k] * c + ci, k * c + ci] += tw[k]
+        mm = jnp.asarray(m)
+        with jax.default_matmul_precision("highest"):
+            x = x @ mm
+        return (2.0 * x).reshape(lead + (2 * h, 2 * w, c))
     return resize_bilinear(flow, 2 * h, 2 * w, align_corners=True) * 2.0

@@ -62,7 +62,12 @@ def test_single_block_no_proj():
     check(got, want, h, w)
 
 
-def test_block_with_proj():
+@pytest.mark.parametrize(
+    "dw_impl,dw_group,ln_impl",
+    [("mxu", 16, "vpu"), ("mxu", 48, "vpu"), ("mxu", 16, "mxu"),
+     ("vpu", 16, "vpu")],
+)
+def test_block_with_proj(dw_impl, dw_group, ln_impl):
     rng = np.random.default_rng(1)
     h, w = 16, 40
     wl = lane_width(w)
@@ -72,7 +77,8 @@ def test_block_with_proj():
     arrs, hp = pack_block(params, 16)
     (got,) = fused_convnext_chain(
         to_planar(x, wl), (tuple(arrs),), (hp,), h_img=h, w_img=w,
-        tile_h=8, out_dtype=jnp.float32, interpret=True,
+        tile_h=8, out_dtype=jnp.float32, dw_impl=dw_impl, dw_group=dw_group,
+        ln_impl=ln_impl, interpret=True,
     )
     check(got, want, h, w)
 

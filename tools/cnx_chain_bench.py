@@ -55,6 +55,21 @@ def main():
 
     import sys
 
+    if "--sweep2" in sys.argv:
+        # dw_group x ln_impl sweep on the 1-block chain
+        blocks = tuple(mkblock(rng, F, False) for _ in range(1))
+        hps = (False,)
+        for g, ln in ((48, "vpu"), (16, "vpu"), (16, "mxu"), (8, "mxu")):
+            fn = jax.jit(
+                lambda x, b=blocks, hp=hps, g=g, ln=ln: fused_convnext_chain(
+                    x, b, hp, h_img=h, w_img=w, emit=(0,), dw_rows=8,
+                    dw_group=g, ln_impl=ln,
+                )
+            )
+            t = timeit(fn, x)
+            print(f"1x block 1080p g={g:2d} ln={ln}   {1e3*t:7.2f} ms")
+        return
+
     if "--attrib" in sys.argv:
         # cost attribution: skip one stage at a time (mxu rows=8)
         blocks = tuple(mkblock(rng, F, False) for _ in range(1))

@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from rvdd_tpu.data.io import imwrite
 
 
-def synth_video(seq: int, frames: int, h: int, w: int):
+def synth_video(seq: int, frames: int, h: int, w: int, texture: str = "smooth"):
     rng = np.random.default_rng(seq)
     yy, xx = np.mgrid[0 : h + 32, 0 : w + 32].astype(np.float32)
     tex = (
@@ -32,6 +32,18 @@ def synth_video(seq: int, frames: int, h: int, w: int):
         for _ in range(4)
     )
     base = tex + blobs
+    if texture == "rich":
+        # multi-octave random texture: pushes the denoised operating point
+        # from ~50 dB (smooth scenes) to the REDS-like ~37-42 dB regime
+        from scipy.ndimage import gaussian_filter
+
+        hp, wp = h + 32, w + 32
+        detail = np.zeros((hp, wp), np.float32)
+        for sigma, amp in ((1.0, 28.0), (2.5, 22.0), (6.0, 18.0), (14.0, 14.0)):
+            n = rng.standard_normal((hp, wp)).astype(np.float32)
+            f = gaussian_filter(n, sigma)
+            detail += amp * f / (np.std(f) + 1e-8)
+        base = 0.6 * base + 55 + detail
     for t in range(frames):
         dx, dy = int(1.5 * t), int(1.0 * t)
         win = base[dy : dy + h, dx : dx + w]
@@ -48,11 +60,13 @@ def main(argv=None):
     p.add_argument("--height", type=int, default=96)
     p.add_argument("--width", type=int, default=128)
     p.add_argument("--iso", type=int, default=3200)
+    p.add_argument("--texture", type=str, default="smooth",
+                   choices=["smooth", "rich"])
     a = p.parse_args(argv)
 
     for split, n in [("train", a.seqs), ("validation", a.val_seqs)]:
         for seq in range(n):
-            for t, img in enumerate(synth_video(seq + (100 if split == "validation" else 0), a.frames, a.height, a.width)):
+            for t, img in enumerate(synth_video(seq + (100 if split == "validation" else 0), a.frames, a.height, a.width, a.texture)):
                 imwrite(join(a.root, split, "srgb", f"{seq:03d}", f"{t:08d}.png"), img)
 
     from rvdd_tpu.cli.generate_data import main as gen

@@ -90,11 +90,16 @@ def main():
         return jnp.asarray(rng.standard_normal(s).astype(np.float32)).astype(bf)
 
     k, n = 256, 2048
-    for m in ():
+    for m in (8, 16, 48, 128):
         t = timeit(lambda r: run_dot(m, k, n, r), (mk(m, k), mk(m, k), mk(k, n)))
         fl = 2 * m * k * n
         print(f"dot [{m:3d},{k}]@[{k},{n}]  {1e6 * t:8.2f} us  {fl / t / 1e12:6.1f} TF/s")
-    for k2, n2, m2 in ():
+    # dw grouped-dot candidates: [48/g*? ...] (M, K=49*M patterns) + batched-N
+    for k2, n2, m2 in (
+        (49 * 8, 2048, 8), (49 * 16, 2048, 16), (49 * 24, 2048, 24),
+        (49 * 48, 2048, 48), (49 * 8, 8 * 2048, 8), (48, 2048, 192),
+        (192, 2048, 48),
+    ):
         t = timeit(lambda r: run_dot(m2, k2, n2, r), (mk(m2, k2), mk(m2, k2), mk(k2, n2)))
         fl = 2 * m2 * k2 * n2
         print(f"dot [{m2:3d},{k2}]@[{k2},{n2}]  {1e6 * t:8.2f} us  {fl / t / 1e12:6.1f} TF/s")
