@@ -184,8 +184,16 @@ def _warp_kernel(
             base = i * th + r0 - win_start_ref[i]
 
             def d_body(dj, acc):
-                # +th: fringe offset of the window scratch
-                rows_d = win_ref[pl.ds(base + dmin + dj + th, rc)]  # [rc,K,wlp]
+                # +th: fringe offset of the window scratch.  Load only the
+                # 128-aligned [lane0, lane0+tc+128) slice the e-sweep can
+                # touch (l0 +- e_halo stays inside because l0 + e_halo <=
+                # 128), not the full wlp width, and convert to f32 once —
+                # the per-ee slice+convert of the full row was ~4x the
+                # useful VMEM/convert traffic.
+                rows_d = win_ref[
+                    pl.ds(base + dmin + dj + th, rc), :, lane0 : lane0 + tc + 128
+                ]  # [rc, K, tc+128]
+                rows_f = rows_d.astype(jnp.float32)
                 wd = wd_ref[pl.ds(dj, 1), pl.ds(r0, rc), lane0 : lane0 + tc][0]
                 # NOTE: a per-iteration lax.cond skip of unused displacements
                 # was measured NET NEGATIVE (realistic flow 19 -> 37 ms):
@@ -195,9 +203,9 @@ def _warp_kernel(
                     we = we_ref[ee, pl.ds(r0, rc), lane0 : lane0 + tc]
                     # column c of the tile reads pre-aligned lane c + e,
                     # e = l0 - e_halo + ee (matching the we plane)
-                    o = lane0 + l0 - e_halo + ee
-                    seg = rows_d[:, :, o : o + tc]
-                    acc = acc + (wd * we)[:, None, :] * seg.astype(jnp.float32)
+                    o = l0 - e_halo + ee
+                    seg = rows_f[:, :, o : o + tc]
+                    acc = acc + (wd * we)[:, None, :] * seg
                 return acc
 
             acc = jax.lax.fori_loop(

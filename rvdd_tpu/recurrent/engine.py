@@ -101,8 +101,13 @@ def prepare_frames(cfg: EngineConfig, raw_frames: jnp.ndarray, flows: Optional[j
     if cfg.no_predemosaic:
         return raw_frames, flows
     b, t, h, w, _ = raw_frames.shape
-    rgb = hamilton_adams(raw_frames.reshape(b * t, h, w, 4))
-    rgb = rgb.reshape(b, t, 2 * h, 2 * w, 3)
+    # per-frame (not batched over T): inference steps with carried state
+    # never read frames[:, :d], and XLA can only dead-code-eliminate the
+    # unused demosaics when they are separate ops (concat+slice simplifies
+    # to the used operand; half a batched op cannot be DCE'd)
+    rgb = jnp.stack(
+        [hamilton_adams(raw_frames[:, i]) for i in range(t)], axis=1
+    )
     if flows is not None and not cfg.warp_raw:
         bt, td, dd, fh, fw, _ = flows.shape
         flows = flow_upsample_2x(flows.reshape(bt * td * dd, fh, fw, 2))
