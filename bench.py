@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--height", type=int, default=540)   # raw half-res
     ap.add_argument("--width", type=int, default=960)
     ap.add_argument("--exact", action="store_true", help="fp32-exact convs")
+    ap.add_argument("--trace_dir", default=None,
+                    help="capture a 5-step jax.profiler device trace here")
     ap.add_argument("--precision", default="fast",
                     choices=["fast", "mixed", "accurate"],
                     help="fused-path numerics preset (FUSED_PRECISIONS)")
@@ -158,6 +160,12 @@ def main():
     # warmup the steady-state specialization
     den, state = step(params, state, raw_window, flows)
     float(jnp.sum(den))
+
+    if args.trace_dir:
+        with jax.profiler.trace(args.trace_dir):
+            for _ in range(5):
+                den, state = step(params, state, raw_window, flows)
+            float(jnp.sum(den))
 
     t0 = time.perf_counter()
     for _ in range(args.frames):

@@ -52,7 +52,7 @@ def _warp_kernel(
     out_ref,  # VMEM [th, K, wl] block
     wd_ref,  # scratch [d_max, th, wl] f32
     we_ref,  # scratch [2E+1, th, wl] f32
-    dsc_ref,  # scratch SMEM [2 + 2E+1] i32: dmin, n_d, per-e nonzero flags
+    dsc_ref,  # scratch SMEM [2 + 2*n_rc*n_lc] i32: tile dmin/n_d + per-chunk
     win_ref,  # scratch [rows_win, K, wlp] bf16
     sem,
     *,
@@ -117,12 +117,29 @@ def _warp_kernel(
         # the displacement box must ignore the zero lane padding of the flow
         # planes, or it widens to the union with displacement 0
         valid = cols < w_img
-        dmin = jnp.min(jnp.where(valid, dys[0], 2**30))
-        dmax = jnp.max(jnp.where(valid, dys[3], -(2**30)))
+        dlo_all = jnp.where(valid, dys[0], 2**30)
+        dhi_all = jnp.where(valid, dys[3], -(2**30))
+        dmin = jnp.min(dlo_all)
+        dmax = jnp.max(dhi_all)
         n_d = jnp.minimum(dmax - dmin + 1, d_max)
         dsc_ref[0] = dmin
         dsc_ref[1] = n_d
         dys = [jnp.clip(d, dmin, dmin + n_d - 1) for d in dys]
+        # per-(row-chunk, lane-chunk) displacement bounds: v varies across
+        # the tile, so the tile-wide band oversweeps — each rc x tc chunk
+        # only iterates its own [dmin_c, dmax_c] (clamped into the tile
+        # band, so the wd planes built below cover it)
+        n_lc = wl // tc
+        n_rc = th // rc
+        for rj in range(n_rc):
+            for lc in range(n_lc):
+                sub_lo = dlo_all[rj * rc : (rj + 1) * rc, lc * tc : (lc + 1) * tc]
+                sub_hi = dhi_all[rj * rc : (rj + 1) * rc, lc * tc : (lc + 1) * tc]
+                dmin_c = jnp.clip(jnp.min(sub_lo), dmin, dmin + n_d - 1)
+                dmax_c = jnp.clip(jnp.max(sub_hi), dmin, dmin + n_d - 1)
+                k2 = 2 + 2 * (rj * n_lc + lc)
+                dsc_ref[k2] = dmin_c
+                dsc_ref[k2 + 1] = dmax_c - dmin_c + 1
 
         def d_plane(dd, _):
             d = dmin + dd
@@ -170,7 +187,6 @@ def _warp_kernel(
     copy.wait()
 
     dmin = dsc_ref[0]
-    n_d = dsc_ref[1]
     n_lc = wl // tc
     n_rc = th // rc
 
@@ -182,6 +198,9 @@ def _warp_kernel(
             # window row of output row G = i*th + r0 + rr is
             # (G - win_start) + d; base for rr=0:
             base = i * th + r0 - win_start_ref[i]
+            k2 = 2 + 2 * (rj * n_lc + lc)
+            dmin_c = dsc_ref[k2]
+            nd_c = dsc_ref[k2 + 1]
 
             def d_body(dj, acc):
                 # +th: fringe offset of the window scratch.  Load only the
@@ -191,10 +210,12 @@ def _warp_kernel(
                 # the per-ee slice+convert of the full row was ~4x the
                 # useful VMEM/convert traffic.
                 rows_d = win_ref[
-                    pl.ds(base + dmin + dj + th, rc), :, lane0 : lane0 + tc + 128
+                    pl.ds(base + dmin_c + dj + th, rc), :, lane0 : lane0 + tc + 128
                 ]  # [rc, K, tc+128]
                 rows_f = rows_d.astype(jnp.float32)
-                wd = wd_ref[pl.ds(dj, 1), pl.ds(r0, rc), lane0 : lane0 + tc][0]
+                wd = wd_ref[
+                    pl.ds(dmin_c - dmin + dj, 1), pl.ds(r0, rc), lane0 : lane0 + tc
+                ][0]
                 # NOTE: a per-iteration lax.cond skip of unused displacements
                 # was measured NET NEGATIVE (realistic flow 19 -> 37 ms):
                 # conds block Mosaic pipelining. The adaptive e_halo switch
@@ -209,7 +230,7 @@ def _warp_kernel(
                 return acc
 
             acc = jax.lax.fori_loop(
-                0, n_d, d_body, jnp.zeros((rc, kc, tc), jnp.float32)
+                0, nd_c, d_body, jnp.zeros((rc, kc, tc), jnp.float32)
             )
             if lane0 + tc > w_img:  # zero the pad lanes at the right edge
                 lanes = (
@@ -323,7 +344,7 @@ def warp_planar_pallas(
             scratch_shapes=[
                 pltpu.VMEM((d_max, th, wl), jnp.float32),
                 pltpu.VMEM((2 * eh + 1, th, wl), jnp.float32),
-                pltpu.SMEM((2,), jnp.int32),
+                pltpu.SMEM((2 + 2 * (th // rc) * (wl // tc),), jnp.int32),
                 pltpu.VMEM((rows_win + 2 * th, kc, wlp), win_dtype),
                 pltpu.SemaphoreType.DMA,
             ],

@@ -219,21 +219,36 @@ def flow_upsample_2x(flow: jnp.ndarray) -> jnp.ndarray:
         # fast path: C is tiny, so the generic resize (C on the lane axis +
         # two transposes) wastes 126/128 lanes and measures ~7 ms at 1080p.
         # Keep [.., H, W*C] interleaved on lanes: rows are a static
-        # gather+lerp, columns one constant-matrix f32 MXU matmul whose
-        # interleaved rows carry the per-channel taps (<1 ms total).
+        # gather+lerp.  For columns, each output column k reads input
+        # columns j0(k), j1(k) with 2*j0(k)-k and 2*j1(k)-k bounded in
+        # [-2, 2], so after duplicating every input column (rep), the
+        # column lerp is <=5 static lane shifts with per-column weight
+        # vectors — pure VPU work (a [W*C, 2W*C] constant matmul here
+        # wastes ~W x the useful FLOPs and measured 4 ms at 1080p).
         lead = flow.shape[:-3]
         x = flow.reshape(lead + (h, w * c)).astype(jnp.float32)
         i0, i1, t = _axis_indices(h, 2 * h, True)
         tj = jnp.asarray(t)[:, None]
         x = x[..., i0, :] * (1.0 - tj) + x[..., i1, :] * tj
         j0, j1, tw = _axis_indices(w, 2 * w, True)
-        m = np.zeros((w * c, 2 * w * c), np.float32)
+        rep = jnp.broadcast_to(
+            x[..., :, None, :].reshape(lead + (2 * h, w, 1, c)),
+            lead + (2 * h, w, 2, c),
+        ).reshape(lead + (2 * h, 2 * w * c))
+        shift_w: dict = {}
         for k in range(2 * w):
-            for ci in range(c):
-                m[j0[k] * c + ci, k * c + ci] += 1.0 - tw[k]
-                m[j1[k] * c + ci, k * c + ci] += tw[k]
-        mm = jnp.asarray(m)
-        with jax.default_matmul_precision("highest"):
-            x = x @ mm
-        return (2.0 * x).reshape(lead + (2 * h, 2 * w, c))
+            for j, wk in ((j0[k], 1.0 - tw[k]), (j1[k], tw[k])):
+                s = int(2 * j - k)
+                vec = shift_w.setdefault(s, np.zeros(2 * w * c, np.float32))
+                vec[k * c : (k + 1) * c] += wk
+        pad = max(max(abs(s) for s in shift_w), 1) * c
+        repp = jnp.pad(rep, [(0, 0)] * (rep.ndim - 1) + [(pad, pad)])
+        out = None
+        for s, vec in sorted(shift_w.items()):
+            seg = jax.lax.slice_in_dim(
+                repp, pad + s * c, pad + s * c + 2 * w * c, axis=rep.ndim - 1
+            )
+            term = seg * jnp.asarray(vec)
+            out = term if out is None else out + term
+        return (2.0 * out).reshape(lead + (2 * h, 2 * w, c))
     return resize_bilinear(flow, 2 * h, 2 * w, align_corners=True) * 2.0
