@@ -160,28 +160,21 @@ def _conv(p, x, act=True, dil=1):
     return jnp.maximum(y, 0.0) if act else y
 
 
-def _middle(params, d1, mxu_precision="default"):
-    """Quarter/eighth-res section in XLA NHWC: enc2 -> enc3 -> bottleneck ->
-    dec0; input/output [1, H/4, W/4, 48]."""
-    from rvdd_tpu.ops.resize import maxpool2x2, upsample2x_bilinear
-    from rvdd_tpu.models.unet import zero_pad_to
-
+def _middle8(params, d2, mxu_precision="default"):
+    """Eighth-res core in XLA NHWC: enc3 -> bottleneck (residual sum);
+    input/output [1, H/8, W/8, 48].  Too small for the chain kernels (H/8
+    has no multiple-of-8 tile divisor in general) and cheap enough not to
+    matter."""
     if mxu_precision != "default":
         with jax.default_matmul_precision(
             "high" if mxu_precision == "high" else "highest"
         ):
-            return _middle_body(params, d1)
-    return _middle_body(params, d1)
+            return _middle8_body(params, d2)
+    return _middle8_body(params, d2)
 
 
-def _middle_body(params, d1):
-    from rvdd_tpu.ops.resize import maxpool2x2, upsample2x_bilinear
-    from rvdd_tpu.models.unet import zero_pad_to
-
-    h = _conv(params["enc_conv2"]["conv0"], d1)
-    skip2 = _conv(params["enc_conv2"]["conv1"], h)
-    h = maxpool2x2(_conv(params["enc_down2"], skip2, act=False))
-    h = _conv(params["enc_conv3"]["conv0"], h)
+def _middle8_body(params, d2):
+    h = _conv(params["enc_conv3"]["conv0"], d2)
     skip3 = _conv(params["enc_conv3"]["conv1"], h)
 
     d = skip3
@@ -189,15 +182,7 @@ def _middle_body(params, d1):
     for i in range(2):
         d = _conv(params[f"bottleneck{i}"], d)
         s = s + d
-    d = s
-
-    d = upsample2x_bilinear(d, align_corners=False)
-    d = _conv(params["dec_up0"], d)
-    d = zero_pad_to(d, skip2.shape[-3], skip2.shape[-2])
-    d = jnp.concatenate([skip2, d], axis=-1)
-    d = _conv(params["dec_conv0"]["conv0"], d)
-    d = _conv(params["dec_conv0"]["conv1"], d)
-    return d
+    return s
 
 
 # -------------------------------------------------------------- weight packing
@@ -264,6 +249,30 @@ def pack_fast_params(params, feature_rec: bool, in_nc: int):
         ks=(3, 3, 3),
         emit=(1, 2),
     )
+    packed["C"] = dict(
+        ws=(
+            pack_weight(w(params["enc_conv2"]["conv0"])),
+            pack_weight(w(params["enc_conv2"]["conv1"])),
+            pack_weight(w(params["enc_down2"])),
+        ),
+        bs=(b(params["enc_conv2"]["conv0"]), b(params["enc_conv2"]["conv1"]),
+            b(params["enc_down2"])),
+        acts=("relu", "relu", "none"),
+        ks=(3, 3, 3),
+        emit=(1, 2),
+    )
+    packed["dec0"] = dict(
+        ws=(
+            pack_weight(w(params["dec_up0"])),
+            pack_weight(swap_concat(w(params["dec_conv0"]["conv0"]), 48), cin_split=48),
+            pack_weight(w(params["dec_conv0"]["conv1"])),
+        ),
+        bs=(b(params["dec_up0"]), b(params["dec_conv0"]["conv0"]),
+            b(params["dec_conv0"]["conv1"])),
+        acts=("relu", "relu", "relu"),
+        ks=(3, 3, 3),
+        emit=(2,),
+    )
     packed["dec1"] = dict(
         ws=(
             pack_weight(w(params["dec_up1"])),
@@ -301,10 +310,7 @@ def pack_fast_params(params, feature_rec: bool, in_nc: int):
     packed["in_pad"] = in_pad
     packed["params_mid"] = {
         k: jax.tree_util.tree_map(lambda a: a.astype(f32), params[k])
-        for k in (
-            "enc_conv2", "enc_down2", "enc_conv3",
-            "bottleneck0", "bottleneck1", "dec_up0", "dec_conv0",
-        )
+        for k in ("enc_conv3", "bottleneck0", "bottleneck1")
     }
     return packed
 
@@ -383,14 +389,26 @@ def fast_forward_planar(
                           prec=prec)
     d1 = maxpool2x2_planar(d1pre, h // 2)
 
-    # quarter/eighth resolution in XLA NHWC (cheap; odd sizes handled by
-    # the existing zero_pad_to logic)
-    d1_nhwc = from_planar(d1, h // 4, w // 4)[None].astype(bd)
-    m = _middle(packed["params_mid"], d1_nhwc, prec["mxu_precision"])[0]
+    # quarter res is still worth fusing (the 3x3 convs at H/4 x W/4 cost
+    # ~0.7-1.2 ms each as XLA NHWC convs vs ~0.1 ms fused); only the
+    # eighth-res core stays XLA
+    skip2, d2pre = _chain(packed["C"], d1, None, h // 4, w // 4, interpret,
+                          prec=prec)
+    d2 = maxpool2x2_planar(d2pre, h // 4)
+
+    d2_nhwc = from_planar(d2, h // 8, w // 8)[None].astype(bd)
+    m8 = _middle8(packed["params_mid"], d2_nhwc, prec["mxu_precision"])[0]
 
     # the dec chains upsample rows inside the kernel; lanes are upsampled by
-    # the cheap half-res XLA pass (no full-res HBM round trip)
-    m_lanes = lane_upsample2x_planar(to_planar(m, wl // 4, dtype=bd), h // 4, w // 4)
+    # the cheap lower-res XLA pass (no full-res HBM round trip)
+    m8_lanes = lane_upsample2x_planar(
+        to_planar(m8, wl // 8, dtype=bd), h // 8, w // 8
+    )
+    (dec0,) = _chain(
+        packed["dec0"], m8_lanes, skip2, h // 4, w // 4,
+        interpret, upsample_input=True, prec=prec,
+    )
+    m_lanes = lane_upsample2x_planar(dec0, h // 4, w // 4)
     (dec1,) = _chain(
         packed["dec1"], m_lanes, skip1, h // 2, w // 2,
         interpret, upsample_input=True, prec=prec,
