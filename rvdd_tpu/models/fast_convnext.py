@@ -209,10 +209,26 @@ def _chain(ch, x, aux, h, w, interpret, aux_channels=None, upsample=False,
 
 def fast_forward_planar_cnx(
     net, packed, xp, aux, h, w, interpret=False, aux_channels=None,
-    precision="fast",
+    precision="fast", combine_state=False,
 ):
     """Planar core: xp [(H*in_pad), WL] -> (out [(H*out_pad), WL],
-    feat [(H*48), WL] or None).  precision: FUSED_PRECISIONS key."""
+    feat [(H*48), WL] or None).  precision: FUSED_PRECISIONS key.
+    combine_state=True instead returns ([H, cf, WL] recurrence-state
+    buffer, None) — emulated by concat here (the ConvUNet chain kernel
+    writes it directly)."""
+    if combine_state:
+        out_p, feat_p = fast_forward_planar_cnx(
+            net, packed, xp, aux, h, w, interpret, aux_channels, precision
+        )
+        wl = xp.shape[-1]
+        bd = FUSED_PRECISIONS[precision]["band_dtype"]
+        blocks = [
+            out_p.reshape(h, -1, wl)[:, :3],
+            jnp.zeros((h, 5, wl), bd),
+        ]
+        if feat_p is not None:
+            blocks.append(feat_p.reshape(h, -1, wl))
+        return jnp.concatenate([b.astype(bd) for b in blocks], axis=1), None
     wl = xp.shape[-1]
     assert wl % 512 == 0
     ch = packed["chains"]

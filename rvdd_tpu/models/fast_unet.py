@@ -94,6 +94,12 @@ def maxpool2x2_planar(p: jnp.ndarray, h: int) -> jnp.ndarray:
     return x.reshape(h // 2 * c, wl // 2)
 
 
+def lanepool2x_planar(p: jnp.ndarray) -> jnp.ndarray:
+    """Lane half of the 2x2 max pool ([(H/2*C), WL] -> [.., WL/2]); the row
+    half runs inside the chain kernel (pool_rows emit)."""
+    return jnp.maximum(p[..., 0::2], p[..., 1::2])
+
+
 def lane_upsample2x_planar(p: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     """Column-direction half of the bilinear 2x upsample:
     [(H*C), WL] -> [(H*C), 2WL], rows unchanged.  The row direction runs
@@ -223,6 +229,7 @@ def pack_fast_params(params, feature_rec: bool, in_nc: int):
             acts=("none", "relu", "relu", "none"),
             ks=(3, 3, 3, 3),
             emit=(2, 3),
+            pool=(3,),
         )
     else:
         packed["A"] = dict(
@@ -236,6 +243,7 @@ def pack_fast_params(params, feature_rec: bool, in_nc: int):
             acts=("relu", "relu", "none"),
             ks=(3, 3, 3),
             emit=(1, 2),
+            pool=(2,),
         )
     packed["B"] = dict(
         ws=(
@@ -248,6 +256,7 @@ def pack_fast_params(params, feature_rec: bool, in_nc: int):
         acts=("relu", "relu", "none"),
         ks=(3, 3, 3),
         emit=(1, 2),
+        pool=(2,),
     )
     packed["C"] = dict(
         ws=(
@@ -260,6 +269,7 @@ def pack_fast_params(params, feature_rec: bool, in_nc: int):
         acts=("relu", "relu", "none"),
         ks=(3, 3, 3),
         emit=(1, 2),
+        pool=(2,),
     )
     packed["dec0"] = dict(
         ws=(
@@ -346,7 +356,7 @@ def convunet_fast_forward(
 
 
 def _chain(packed_chain, x, aux, h, w, interpret, aux_channels=None,
-           upsample_input=False, prec=None):
+           upsample_input=False, prec=None, emit=None, combine=None):
     prec = prec or FUSED_PRECISIONS["fast"]
     return fused_conv_chain(
         x,
@@ -357,7 +367,9 @@ def _chain(packed_chain, x, aux, h, w, interpret, aux_channels=None,
         h_img=h,
         w_img=w,
         aux=aux,
-        emit=packed_chain["emit"],
+        emit=emit if emit is not None else packed_chain["emit"],
+        combine=combine,
+        pool_rows=() if combine is not None else packed_chain.get("pool", ()),
         aux_channels=aux_channels,
         upsample_input=upsample_input,
         out_dtype=prec["band_dtype"],
@@ -369,12 +381,13 @@ def _chain(packed_chain, x, aux, h, w, interpret, aux_channels=None,
 
 def fast_forward_planar(
     net, packed, xp, aux, h, w, interpret=False, aux_channels=None,
-    precision="fast",
+    precision="fast", combine_state=False,
 ):
     """Planar core: xp [(H*in_pad), WL] -> (out [(H*out_pad), WL],
     feat [(H*48), WL] or None).  aux: recurrent features, either
     [(H*48), WL] or a wider planar tensor with aux_channels=(offset, 48).
-    precision: FUSED_PRECISIONS key."""
+    precision: FUSED_PRECISIONS key.  combine_state=True returns instead
+    ([H, cf, WL] recurrence-state buffer, None) written by the kernel."""
     wl = xp.shape[-1]
     assert wl % 512 == 0, "planar lane count must be a 512-multiple"
     prec = FUSED_PRECISIONS[precision]
@@ -383,18 +396,18 @@ def fast_forward_planar(
     skip0, d0pre = _chain(
         packed["A"], xp, aux, h, w, interpret, aux_channels, prec=prec
     )
-    d0 = maxpool2x2_planar(d0pre, h)
+    d0 = lanepool2x_planar(d0pre)  # rows already pooled in-kernel
 
     skip1, d1pre = _chain(packed["B"], d0, None, h // 2, w // 2, interpret,
                           prec=prec)
-    d1 = maxpool2x2_planar(d1pre, h // 2)
+    d1 = lanepool2x_planar(d1pre)
 
     # quarter res is still worth fusing (the 3x3 convs at H/4 x W/4 cost
     # ~0.7-1.2 ms each as XLA NHWC convs vs ~0.1 ms fused); only the
     # eighth-res core stays XLA
     skip2, d2pre = _chain(packed["C"], d1, None, h // 4, w // 4, interpret,
                           prec=prec)
-    d2 = maxpool2x2_planar(d2pre, h // 4)
+    d2 = lanepool2x_planar(d2pre)
 
     d2_nhwc = from_planar(d2, h // 8, w // 8)[None].astype(bd)
     m8 = _middle8(packed["params_mid"], d2_nhwc, prec["mxu_precision"])[0]
@@ -414,6 +427,21 @@ def fast_forward_planar(
         interpret, upsample_input=True, prec=prec,
     )
     dec1_lanes = lane_upsample2x_planar(dec1, h // 2, w // 2)
+    if combine_state:
+        # one [H, cf, WL] buffer in the recurrence-state layout
+        # [den 3 | pad 5 | feat 48?]: the head slab's 5 pad channels are
+        # written zero, so the engine's state concat disappears
+        if net.feature_rec:
+            cmb = (56, ((4, 0), (3, 8)))
+            em = (3, 4)
+        else:
+            cmb = (8, ((4, 0),))
+            em = (4,)
+        (state3,) = _chain(
+            packed["dec2"], dec1_lanes, skip0, h, w, interpret,
+            upsample_input=True, prec=prec, emit=em, combine=cmb,
+        )
+        return state3, None
     new_feat, out = _chain(
         packed["dec2"], dec1_lanes, skip0, h, w, interpret,
         upsample_input=True, prec=prec,

@@ -75,6 +75,8 @@ def _chain_kernel(
     chans: Sequence[int],  # per-layer (cin, cout, ksize, act)
     layer_specs: Sequence[tuple],
     emit: Sequence[int],
+    pool_rows: Sequence[int],
+    combine: Optional[tuple],  # (total_c, {layer: ch_off}) -> one 3D output
     aux_c: int,
     aux_off: int,
     n_tiles: int,
@@ -89,8 +91,9 @@ def _chain_kernel(
     aux_ref = refs[1] if aux_c else None
     w_refs = refs[n_in : n_in + nl]
     b_refs = refs[n_in + nl : n_in + 2 * nl]
-    out_refs = refs[n_in + 2 * nl : n_in + 2 * nl + len(emit)]
-    scratch = list(refs[n_in + 2 * nl + len(emit) :])
+    n_outs = 1 if combine else len(emit)
+    out_refs = refs[n_in + 2 * nl : n_in + 2 * nl + n_outs]
+    scratch = list(refs[n_in + 2 * nl + n_outs :])
     win_x = scratch.pop(0)
     win_lo = scratch.pop(0) if upsample_input else None
     win_aux = scratch.pop(0) if aux_c else None
@@ -341,10 +344,27 @@ def _chain_kernel(
 
             jax.lax.fori_loop(0, rows_out, row_body1, 0)
 
-        if l in emit:
-            out_refs[emit_idx][:, :] = out_band[
-                h_out * cout : (h_out + th) * cout, :
-            ].astype(out_refs[emit_idx].dtype)
+        if l in emit and combine:
+            # write this layer's rows into the combined [th, total_c, wl]
+            # state buffer at its channel offset — the engine's post-step
+            # state concat ([den | pad | feat]) becomes a kernel emit
+            src = out_band[h_out * cout : (h_out + th) * cout, :]
+            off = combine[1][l]
+            out_refs[0][:, off : off + cout, :] = src.reshape(
+                th, cout, wl
+            ).astype(out_refs[0].dtype)
+        elif l in emit:
+            src = out_band[h_out * cout : (h_out + th) * cout, :]
+            if l in pool_rows:
+                # row half of the 2x2 maxpool fused into the emit write:
+                # halves the HBM write and kills the XLA row-regroup copy
+                # (the lane half stays outside — Mosaic has no cheap
+                # strided lane slice)
+                v = src.reshape(th // 2, 2, cout, wl)
+                src = jnp.maximum(v[:, 0], v[:, 1]).reshape(
+                    th // 2 * cout, wl
+                )
+            out_refs[emit_idx][:, :] = src.astype(out_refs[emit_idx].dtype)
             emit_idx += 1
 
         in_band = out_band
@@ -361,7 +381,7 @@ PRECISIONS = {
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "acts", "kernel_sizes", "emit", "h_img", "w_img", "tile_h",
+        "acts", "kernel_sizes", "emit", "pool_rows", "combine", "h_img", "w_img", "tile_h",
         "out_dtype", "aux_channels", "upsample_input", "band_dtype",
         "mxu_precision", "interpret",
     ),
@@ -376,6 +396,9 @@ def fused_conv_chain(
     w_img: int,
     aux: Optional[jnp.ndarray] = None,  # [(H*Ca), WL], joins layer-1 input
     emit: Sequence[int] = (),
+    pool_rows: Sequence[int] = (),  # emit layers written row-pooled (2x1 max)
+    combine: Optional[tuple] = None,  # (total_c, ((layer, ch_off), ...)):
+    #   all emit layers write into ONE [(H*total_c), WL] buffer
     tile_h: int = 0,
     out_dtype=jnp.bfloat16,
     aux_channels=None,  # (offset, n): read n channels at offset from aux's
@@ -390,6 +413,11 @@ def fused_conv_chain(
     """Run a fused chain of convs; returns one [(H*Cout_l), WL] per emit."""
     nl = len(weights)
     emit = tuple(emit) if emit else (nl - 1,)
+    pool_rows = tuple(pool_rows)
+    assert all(l in emit for l in pool_rows)
+    if combine is not None:
+        combine = (combine[0], dict(combine[1]))
+        assert not pool_rows and all(l in combine[1] for l in emit)
     if upsample_input:
         h_lo = (h_img + 1) // 2
         wl = x.shape[-1]  # lanes already at full resolution
@@ -451,12 +479,14 @@ def fused_conv_chain(
                 t
                 for t in (72, 60, 54, 48, 40, 36, 32, 30, 24, 20, 18, 16, 12, 8)
                 if h_img % t == 0 and t > halos[0] and est(t) < budget
+                and (not pool_rows or t % 2 == 0)
             ),
             0,
         )
         if tile_h == 0:
             tile_h = h_img  # single tile
     assert h_img % tile_h == 0 and tile_h > halos[0]
+    assert not pool_rows or tile_h % 2 == 0
     n_tiles = h_img // tile_h
 
     kern = functools.partial(
@@ -469,6 +499,8 @@ def fused_conv_chain(
         chans=(),
         layer_specs=tuple(layer_specs),
         emit=emit,
+        pool_rows=pool_rows,
+        combine=combine,
         aux_c=aux_c,
         aux_off=aux_off,
         n_tiles=n_tiles,
@@ -487,13 +519,23 @@ def fused_conv_chain(
 
     out_specs = []
     out_shapes = []
-    for l in emit:
-        cout = layer_specs[l][1]
+    if combine is not None:
+        tc_ = combine[0]
         out_specs.append(
-            pl.BlockSpec((tile_h * cout, wl), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (tile_h, tc_, wl), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            )
+        )
+        out_shapes.append(jax.ShapeDtypeStruct((h_img, tc_, wl), out_dtype))
+    for l in (() if combine is not None else emit):
+        cout = layer_specs[l][1]
+        rows_o = (tile_h // 2) if l in pool_rows else tile_h
+        h_o = (h_img // 2) if l in pool_rows else h_img
+        out_specs.append(
+            pl.BlockSpec((rows_o * cout, wl), lambda i: (i, 0), memory_space=pltpu.VMEM)
         )
         out_shapes.append(
-            jax.ShapeDtypeStruct((h_img * cout, wl), out_dtype)
+            jax.ShapeDtypeStruct((h_o * cout, wl), out_dtype)
         )
 
     scratch = [

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from rvdd_tpu.ops.bayer import remosaic
-from rvdd_tpu.ops.demosaic import hamilton_adams
+from rvdd_tpu.ops.demosaic import hamilton_adams, hamilton_adams_planar
 from rvdd_tpu.ops.metrics import psnr
 from rvdd_tpu.ops.warp import warp, flow_upsample_2x
 
@@ -105,9 +105,20 @@ def prepare_frames(cfg: EngineConfig, raw_frames: jnp.ndarray, flows: Optional[j
     # never read frames[:, :d], and XLA can only dead-code-eliminate the
     # unused demosaics when they are separate ops (concat+slice simplifies
     # to the used operand; half a batched op cannot be DCE'd)
-    rgb = jnp.stack(
-        [hamilton_adams(raw_frames[:, i]) for i in range(t)], axis=1
-    )
+    if cfg.net_impl == "fused" and not cfg.warp_raw:
+        # fused inference consumes row-major planar frames; the
+        # phase-resolved demosaic emits them directly (bit-identical to
+        # hamilton_adams, ~2x less traffic, no pack/transpose copies).
+        # Unpadded (lanes = 2w) so the image width stays recoverable from
+        # the shape; the consumers' lane pad to WL is one fused op.
+        rgb = jnp.stack(
+            [hamilton_adams_planar(raw_frames[:, i]) for i in range(t)],
+            axis=1,
+        )  # [B, T, 2h, 3, 2w]
+    else:
+        rgb = jnp.stack(
+            [hamilton_adams(raw_frames[:, i]) for i in range(t)], axis=1
+        )
     if flows is not None and not cfg.warp_raw:
         bt, td, dd, fh, fw, _ = flows.shape
         flows = flow_upsample_2x(flows.reshape(bt * td * dd, fh, fw, 2))
@@ -139,8 +150,17 @@ def _planar_wl(w: int) -> int:
     return -(-(w + 1) // 512) * 512
 
 
+def _is_planar_frame(x: jnp.ndarray) -> bool:
+    """[H, C<=4, WL>=8] planar vs [H, W>=8, C<=4] NHWC (trailing dims)."""
+    return x.shape[-1] >= 8 and x.shape[-2] <= 4
+
+
 def _frame_to_planar(x: jnp.ndarray, wl: int, c_to: int, dtype=jnp.bfloat16) -> jnp.ndarray:
-    """[H, W, C] -> [H, c_to, WL] (zero channel/lane pad)."""
+    """[H, W, C] (NHWC) or [H, C, WL] (planar) -> [H, c_to, WL]."""
+    if _is_planar_frame(x):
+        h, c, w0 = x.shape
+        p = jnp.pad(x, ((0, 0), (0, c_to - c), (0, wl - w0)))
+        return p.astype(dtype)
     h, w, c = x.shape
     p = jnp.transpose(x, (0, 2, 1))
     p = jnp.pad(p, ((0, 0), (0, c_to - c), (0, wl - w)))
@@ -159,11 +179,15 @@ def _fused_band_dtype(cfg: EngineConfig):
 
 
 def _init_state_planar(cfg: EngineConfig, frames: jnp.ndarray) -> RecurrentState:
-    b, _, h, w, _ = frames.shape
+    f0 = frames[:, 0]
+    if _is_planar_frame(f0[0]):
+        b, h, _, w = f0.shape
+    else:
+        b, h, w, _ = f0.shape
     wl = _planar_wl(w)
     cf = _fused_state_c(cfg)
     bd = _fused_band_dtype(cfg)
-    prev = jax.vmap(lambda f: _frame_to_planar(f, wl, cf, bd))(frames[:, 0])
+    prev = jax.vmap(lambda f: _frame_to_planar(f, wl, cf, bd))(f0)
     return RecurrentState(prev.reshape(b, h * cf, wl), None)
 
 
@@ -302,7 +326,10 @@ def _fast_planar_step(
             "net_impl='fused' supports model_patch_depth=2, RGB pre-demosaic,"
             " frame-domain warping, output_nc=3"
         )
-    b, h, w, _ = cur.shape
+    if _is_planar_frame(cur[0]):
+        b, h, _, w = cur.shape  # planar [B, H, 3, 2w]
+    else:
+        b, h, w, _ = cur.shape
     fast_forward_planar, pack_fast_params, supports_fast_path = _fused_impl(net)
     if not supports_fast_path(net, h, w):
         raise ValueError(
@@ -342,20 +369,27 @@ def _fast_planar_step(
         xp = jnp.concatenate(parts, axis=1).reshape(h * in_pad, wl)
 
         aux = warped if cfg.feature_rec else None
-        out_p, feat_p = fast_forward_planar(
+        # the net writes the next recurrence state [den 3 | pad 5 | feat 48?]
+        # directly (combined kernel emit) — no post-step state concat
+        state3, _ = fast_forward_planar(
             net, packed, xp, aux, h, w,
             aux_channels=(8, 48) if cfg.feature_rec else None,
             precision=cfg.fused_precision,
+            combine_state=True,
         )
-        dens.append(from_planar(out_p, h, w, c=3).astype(jnp.float32))
+        state_flat = state3.reshape(h * cf, wl)
+        dens.append(from_planar(state_flat, h, w, c=3).astype(jnp.float32))
 
-        den_part = curp if cfg.prev_noisy_frame else out_p.reshape(h, 8, wl)[:, :3]
-        blocks = [den_part, jnp.zeros((h, 5, wl), bd)]
-        if cfg.feature_rec:
-            blocks.append(feat_p.reshape(h, 48, wl))
-        fused_next.append(
-            jnp.concatenate(blocks, axis=1).reshape(h * cf, wl).astype(bd)
-        )
+        if cfg.prev_noisy_frame:
+            # ablation: carry the noisy current frame instead of the output
+            blocks = [curp, jnp.zeros((h, 5, wl), bd)]
+            if cfg.feature_rec:
+                blocks.append(state3[:, 8:])
+            fused_next.append(
+                jnp.concatenate(blocks, axis=1).reshape(h * cf, wl).astype(bd)
+            )
+        else:
+            fused_next.append(state_flat.astype(bd))
 
     return jnp.stack(dens), RecurrentState(jnp.stack(fused_next), None)
 

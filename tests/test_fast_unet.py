@@ -14,10 +14,10 @@ from rvdd_tpu.models.fast_unet import (
     supports_fast_path,
 )
 
-@pytest.mark.parametrize(
-    "feat_rec",
-    [pytest.param(False, marks=pytest.mark.slow), True],
-)
+# both variants slow: the fast-suite gate for the fused path is
+# tests/test_fused_minigolden.py (real released weights, tighter envelope)
+@pytest.mark.slow
+@pytest.mark.parametrize("feat_rec", [False, True])
 def test_fast_forward_parity(feat_rec):
     h = w = 32
     in_nc = 6

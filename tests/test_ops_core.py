@@ -151,3 +151,23 @@ class TestTransformsMetrics:
         y = jnp.full((8, 8), 0.1)
         val = float(psnr(x, y, 2.0))
         np.testing.assert_allclose(val, 10 * np.log10(4.0 / 0.01), rtol=1e-5)
+
+
+@pytest.mark.fast
+def test_hamilton_adams_planar_bitexact():
+    """Phase-resolved planar HA == mosaic-domain HA, bit for bit, including
+    the full-res border-clamp parity flips."""
+    from rvdd_tpu.ops.demosaic import hamilton_adams_planar
+
+    rng = np.random.default_rng(7)
+    for shape in [(4, 4, 4), (2, 5, 7, 4), (12, 20, 4)]:
+        raw = jnp.asarray(rng.uniform(-1, 1, shape).astype(np.float32))
+        want = jnp.moveaxis(hamilton_adams(raw), -1, -2)
+        got = hamilton_adams_planar(raw)
+        assert got.shape == want.shape
+        assert float(jnp.max(jnp.abs(got - want))) == 0.0
+    # wl pad path
+    raw = jnp.asarray(rng.uniform(-1, 1, (6, 10, 4)).astype(np.float32))
+    got = hamilton_adams_planar(raw, wl=128)
+    assert got.shape == (12, 3, 128)
+    assert float(jnp.max(jnp.abs(got[..., 20:]))) == 0.0

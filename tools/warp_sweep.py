@@ -18,13 +18,16 @@ def _fetch(out):
     return float(jnp.sum(out.ravel()[:8].astype(jnp.float32)))
 
 
-def timeit(fn, *args, iters=10, warmup=2):
+def timeit(fn, x, flow, iters=10, warmup=2):
+    # chain output -> input: the axon relay appears to memoize repeated
+    # identical executions, so independent same-arg calls measure ~0
+    out = x
     for _ in range(warmup):
-        out = fn(*args)
+        out = fn(out, flow)
     _fetch(out)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
+        out = fn(out, flow)
     _fetch(out)
     return (time.perf_counter() - t0) / iters
 
