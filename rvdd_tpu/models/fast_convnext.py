@@ -228,7 +228,10 @@ def fast_forward_planar_cnx(
         ]
         if feat_p is not None:
             blocks.append(feat_p.reshape(h, -1, wl))
-        return jnp.concatenate([b.astype(bd) for b in blocks], axis=1), None
+        from rvdd_tpu.recurrent.engine import _edge_pad_planar
+
+        st = jnp.concatenate([b.astype(bd) for b in blocks], axis=1)
+        return _edge_pad_planar(st, w), None
     wl = xp.shape[-1]
     assert wl % 512 == 0
     ch = packed["chains"]

@@ -428,14 +428,21 @@ def fast_forward_planar(
     )
     dec1_lanes = lane_upsample2x_planar(dec1, h // 2, w // 2)
     if combine_state:
-        # one [H, cf, WL] buffer in the recurrence-state layout
-        # [den 3 | pad 5 | feat 48?]: the head slab's 5 pad channels are
-        # written zero, so the engine's state concat disappears
+        # one [H, cf, WL + STATE_LANE_EXTRA] buffer in the recurrence-state
+        # layout [den 3 | pad 5 | feat 48?] with edge-replicated lane
+        # margins: the head slab's 5 pad channels are written zero, the
+        # engine's state concat disappears, and the next frame's warp
+        # consumes the buffer without any XLA edge-pad pre-pass
+        from rvdd_tpu.ops.pallas.warp_rowmajor import (
+            STATE_LANE_EXTRA,
+            STATE_PAD_LEFT,
+        )
+
         if net.feature_rec:
-            cmb = (56, ((4, 0), (3, 8)))
+            cmb = (56, ((4, 0), (3, 8)), STATE_PAD_LEFT, wl + STATE_LANE_EXTRA)
             em = (3, 4)
         else:
-            cmb = (8, ((4, 0),))
+            cmb = (8, ((4, 0),), STATE_PAD_LEFT, wl + STATE_LANE_EXTRA)
             em = (4,)
         (state3,) = _chain(
             packed["dec2"], dec1_lanes, skip0, h, w, interpret,

@@ -345,14 +345,29 @@ def _chain_kernel(
             jax.lax.fori_loop(0, rows_out, row_body1, 0)
 
         if l in emit and combine:
-            # write this layer's rows into the combined [th, total_c, wl]
+            # write this layer's rows into the combined [th, total_c, *]
             # state buffer at its channel offset — the engine's post-step
-            # state concat ([den | pad | feat]) becomes a kernel emit
+            # state concat ([den | pad | feat]) becomes a kernel emit.
+            # With lane geometry (pad_left, lane_total), the margins are
+            # written edge-replicated so the buffer is directly consumable
+            # by the warp kernel's pre-aligned window DMA (no XLA pre-pass)
             src = out_band[h_out * cout : (h_out + th) * cout, :]
             off = combine[1][l]
-            out_refs[0][:, off : off + cout, :] = src.reshape(
-                th, cout, wl
-            ).astype(out_refs[0].dtype)
+            src3 = src.reshape(th, cout, wl).astype(out_refs[0].dtype)
+            if len(combine) == 2:
+                out_refs[0][:, off : off + cout, :] = src3
+            else:
+                pad_l, lane_total = combine[2], combine[3]
+                out_refs[0][:, off : off + cout, pad_l : pad_l + wl] = src3
+                out_refs[0][:, off : off + cout, :pad_l] = jnp.broadcast_to(
+                    src3[:, :, :1], (th, cout, pad_l)
+                )
+                out_refs[0][
+                    :, off : off + cout, pad_l + w_img : lane_total
+                ] = jnp.broadcast_to(
+                    src3[:, :, w_img - 1 : w_img],
+                    (th, cout, lane_total - pad_l - w_img),
+                )
         elif l in emit:
             src = out_band[h_out * cout : (h_out + th) * cout, :]
             if l in pool_rows:
@@ -416,7 +431,7 @@ def fused_conv_chain(
     pool_rows = tuple(pool_rows)
     assert all(l in emit for l in pool_rows)
     if combine is not None:
-        combine = (combine[0], dict(combine[1]))
+        combine = (combine[0], dict(combine[1])) + tuple(combine[2:])
         assert not pool_rows and all(l in combine[1] for l in emit)
     if upsample_input:
         h_lo = (h_img + 1) // 2
@@ -521,12 +536,13 @@ def fused_conv_chain(
     out_shapes = []
     if combine is not None:
         tc_ = combine[0]
+        lt_ = combine[3] if len(combine) > 2 else wl
         out_specs.append(
             pl.BlockSpec(
-                (tile_h, tc_, wl), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (tile_h, tc_, lt_), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             )
         )
-        out_shapes.append(jax.ShapeDtypeStruct((h_img, tc_, wl), out_dtype))
+        out_shapes.append(jax.ShapeDtypeStruct((h_img, tc_, lt_), out_dtype))
     for l in (() if combine is not None else emit):
         cout = layer_specs[l][1]
         rows_o = (tile_h // 2) if l in pool_rows else tile_h

@@ -41,6 +41,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rvdd_tpu.ops.warp import cubic_kernel
 
+#: lane geometry of the pre-padded planar state layout: producers (the dec2
+#: chain kernel / engine helpers) store [128 edge-replicated lanes | image |
+#: edge-replicated tail], so the warp needs no XLA slice+concat pre-pass.
+#: 128 >= l0 + max_disp and the total stays lane-tile aligned.
+STATE_PAD_LEFT = 128
+STATE_LANE_EXTRA = 256
+
 
 def _warp_kernel(
     # grid: (n_tiles, n_groups), g inner
@@ -249,7 +256,7 @@ def _warp_kernel(
     jax.jit,
     static_argnames=(
         "h_img", "w_img", "max_disp", "e_halo", "d_max", "tile_h", "group",
-        "tile_c", "coeff_a", "out_dtype", "interpret",
+        "tile_c", "coeff_a", "out_dtype", "interpret", "prepadded",
     ),
 )
 def warp_planar_pallas(
@@ -266,9 +273,16 @@ def warp_planar_pallas(
     coeff_a: float = -0.75,
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
+    prepadded: bool = False,
 ) -> jnp.ndarray:
-    """Bicubic warp of planar x by flow; returns [(H*C), WL] out_dtype."""
+    """Bicubic warp of planar x by flow; returns [(H*C), WL] out_dtype.
+
+    prepadded: x is [(H*C), WL + STATE_LANE_EXTRA] with edge-replicated
+    margins already in place (STATE_PAD_LEFT lanes left) — skips the XLA
+    edge-pad pre-pass (a full HBM round trip per call)."""
     hc, wl = x.shape
+    if prepadded:
+        wl = wl - STATE_LANE_EXTRA
     assert hc % h_img == 0
     c = hc // h_img
     assert c % 8 == 0, "planar channel count must divide by 8"
@@ -296,7 +310,7 @@ def warp_planar_pallas(
     # fp32 planar inputs stay fp32 end-to-end (accurate mode); everything
     # else drops to bf16 for half the DMA/VMEM traffic
     win_dtype = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
-    x3 = x.reshape(h_img, c, wl).astype(win_dtype)
+    x3 = x.reshape(h_img, c, -1).astype(win_dtype)
 
     u = jnp.clip(flow[..., 0], -max_disp, max_disp)
     v = jnp.clip(flow[..., 1], -max_disp, max_disp)
@@ -304,16 +318,24 @@ def warp_planar_pallas(
     u_res = jnp.pad(u - ubar.astype(jnp.float32), ((0, 0), (0, wl - w_img)))
     v_pl = jnp.pad(v, ((0, 0), (0, wl - w_img)))
 
-    # horizontal pre-alignment: x_pre[:, :, cpre] = x_edge[cpre - l0 + ubar];
-    # one padded copy + dynamic lane slice (XLA, fused into this jit)
-    left = jnp.repeat(x3[:, :, :1], l0 + max_disp, axis=2)
-    right = jnp.repeat(
-        x3[:, :, w_img - 1 : w_img], wlp + max_disp - l0 - w_img, axis=2
-    )
-    xpad = jnp.concatenate([left, x3[:, :, :w_img], right], axis=2)
-    x_pre = jax.lax.dynamic_slice_in_dim(
-        xpad, max_disp + ubar, wlp, axis=2
-    )
+    # horizontal pre-alignment: x_pre[:, :, cpre] = x_edge[cpre - l0 + ubar]
+    if prepadded:
+        # margins already edge-replicated by the producer; only the dynamic
+        # global-mean shift remains
+        assert STATE_PAD_LEFT - l0 - max_disp >= 0  # dyn slice start >= 0
+        assert STATE_PAD_LEFT - l0 + max_disp + wlp <= wl + STATE_LANE_EXTRA
+        x_pre = jax.lax.dynamic_slice_in_dim(
+            x3, STATE_PAD_LEFT - l0 + ubar, wlp, axis=2
+        )
+    else:
+        left = jnp.repeat(x3[:, :, :1], l0 + max_disp, axis=2)
+        right = jnp.repeat(
+            x3[:, :, w_img - 1 : w_img], wlp + max_disp - l0 - w_img, axis=2
+        )
+        xpad = jnp.concatenate([left, x3[:, :, :w_img], right], axis=2)
+        x_pre = jax.lax.dynamic_slice_in_dim(
+            xpad, max_disp + ubar, wlp, axis=2
+        )
 
     # per-tile mean vertical displacement -> window DMA offset
     vbar = jnp.round(jnp.mean(v.reshape(n_tiles, -1), axis=1)).astype(jnp.int32)

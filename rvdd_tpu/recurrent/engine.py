@@ -167,6 +167,23 @@ def _frame_to_planar(x: jnp.ndarray, wl: int, c_to: int, dtype=jnp.bfloat16) -> 
     return p.astype(dtype)
 
 
+def _edge_pad_planar(x3: jnp.ndarray, w: int) -> jnp.ndarray:
+    """[..., C, WL] -> [..., C, WL + STATE_LANE_EXTRA] with edge-replicated
+    margins (the pre-padded layout the warp kernel consumes directly)."""
+    from rvdd_tpu.ops.pallas.warp_rowmajor import (
+        STATE_LANE_EXTRA,
+        STATE_PAD_LEFT,
+    )
+
+    wl = x3.shape[-1]
+    lt = wl + STATE_LANE_EXTRA
+    left = jnp.broadcast_to(x3[..., :1], x3.shape[:-1] + (STATE_PAD_LEFT,))
+    right = jnp.broadcast_to(
+        x3[..., w - 1 : w], x3.shape[:-1] + (lt - STATE_PAD_LEFT - w,)
+    )
+    return jnp.concatenate([left, x3[..., :w], right], axis=-1)
+
+
 def _fused_state_c(cfg: EngineConfig) -> int:
     # fused planar state row-block: [den 3 | pad 5 | feat 48?]
     return 8 + (48 if cfg.feature_rec else 0)
@@ -188,7 +205,8 @@ def _init_state_planar(cfg: EngineConfig, frames: jnp.ndarray) -> RecurrentState
     cf = _fused_state_c(cfg)
     bd = _fused_band_dtype(cfg)
     prev = jax.vmap(lambda f: _frame_to_planar(f, wl, cf, bd))(f0)
-    return RecurrentState(prev.reshape(b, h * cf, wl), None)
+    prev = _edge_pad_planar(prev, w)  # pre-padded state lane layout
+    return RecurrentState(prev.reshape(b, h * cf, prev.shape[-1]), None)
 
 
 def init_state(cfg: EngineConfig, frames: jnp.ndarray, nil_feat=None) -> RecurrentState:
@@ -343,15 +361,26 @@ def _fast_planar_step(
     if packed is None:
         packed = pack_fast_params(params, cfg.feature_rec, in_nc)
 
+    from rvdd_tpu.ops.pallas.warp_rowmajor import STATE_PAD_LEFT
+
     dens = []
     fused_next = []
     for bi in range(b):
-        fused = state.lastden[bi]  # [(H*cf), WL] band dtype
+        # state is pre-padded [(H*cf), WL + STATE_LANE_EXTRA] with
+        # edge-replicated lane margins (written by the dec2 kernel emit)
+        fused = state.lastden[bi]
         if cfg.no_warp or flows is None:
-            warped = fused
+            # slice the image region back out and re-zero the pad lanes
+            # (the chains assume zeros beyond the image width)
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 1, wl), 2)
+            warped = (
+                fused.reshape(h, cf, -1)[:, :, STATE_PAD_LEFT:STATE_PAD_LEFT + wl]
+                * (lanes < w).astype(bd)
+            ).reshape(h * cf, wl)
         else:
             warped = warp_planar_pallas(
-                fused, flows[bi, 0], h_img=h, w_img=w, out_dtype=bd
+                fused, flows[bi, 0], h_img=h, w_img=w, out_dtype=bd,
+                prepadded=True,
             )
         w3 = warped.reshape(h, cf, wl)
         curp = _frame_to_planar(cur[bi], wl, 3, bd)
@@ -377,19 +406,23 @@ def _fast_planar_step(
             precision=cfg.fused_precision,
             combine_state=True,
         )
-        state_flat = state3.reshape(h * cf, wl)
-        dens.append(from_planar(state_flat, h, w, c=3).astype(jnp.float32))
+        # state3: [H, cf, WL + STATE_LANE_EXTRA], image at STATE_PAD_LEFT
+        den = jnp.transpose(
+            state3[:, :3, STATE_PAD_LEFT : STATE_PAD_LEFT + w], (0, 2, 1)
+        )
+        dens.append(den.astype(jnp.float32))
 
         if cfg.prev_noisy_frame:
             # ablation: carry the noisy current frame instead of the output
             blocks = [curp, jnp.zeros((h, 5, wl), bd)]
             if cfg.feature_rec:
-                blocks.append(state3[:, 8:])
-            fused_next.append(
-                jnp.concatenate(blocks, axis=1).reshape(h * cf, wl).astype(bd)
-            )
+                blocks.append(
+                    state3[:, 8:, STATE_PAD_LEFT : STATE_PAD_LEFT + wl]
+                )
+            nxt = _edge_pad_planar(jnp.concatenate(blocks, axis=1), w)
+            fused_next.append(nxt.reshape(h * cf, -1).astype(bd))
         else:
-            fused_next.append(state_flat.astype(bd))
+            fused_next.append(state3.reshape(h * cf, -1).astype(bd))
 
     return jnp.stack(dens), RecurrentState(jnp.stack(fused_next), None)
 
