@@ -104,6 +104,22 @@ def pack_fast_cnx(params, feature_rec: bool, in_nc: int):
         hps=tuple(hp for _, hp in items),
         emit=(2,),
     )
+    # chain C (quarter res): enc_down1 + enc2 x2
+    items = [blk(("enc_down1",), F), blk(("enc_conv2", "block0"), F),
+             blk(("enc_conv2", "block1"), F)]
+    chains["C"] = dict(
+        blocks=tuple(tuple(a) for a, _ in items),
+        hps=tuple(hp for _, hp in items),
+        emit=(2,),
+    )
+    # dec0 chain (quarter res): dec_up0 + [skip2] dec_conv0 x2 (block0 proj)
+    items = [blk(("dec_up0",), F), blk(("dec_conv0", "block0"), 2 * F),
+             blk(("dec_conv0", "block1"), F)]
+    chains["dec0"] = dict(
+        blocks=tuple(tuple(a) for a, _ in items),
+        hps=tuple(hp for _, hp in items),
+        emit=(2,),
+    )
     # dec1 chain (half res): dec_up1 + [skip1] dec_conv1 x2 (block0 proj 96)
     items = [blk(("dec_up1",), F), blk(("dec_conv1", "block0"), 2 * F),
              blk(("dec_conv1", "block1"), F)]
@@ -136,6 +152,7 @@ def pack_fast_cnx(params, feature_rec: bool, in_nc: int):
     packed["params_mid"] = {
         k: jax.tree_util.tree_map(lambda a: a.astype(jnp.float32), params[k])
         for k in (
+            # quarter-level params kept for the small-image XLA fallback
             "enc_down1", "enc_conv2", "enc_down2", "enc_conv3", "bottleneck",
             "dec_up0", "dec_conv0",
         )
@@ -143,21 +160,31 @@ def pack_fast_cnx(params, feature_rec: bool, in_nc: int):
     return packed
 
 
-def _middle_cnx(net, params_mid, d1, precision="fast"):
-    """Quarter/eighth-res section with the flax modules (XLA):
-    input [1, H/4, W/4, 48] (the level-2 input) -> dec_conv0 output."""
+def _quarter_tileable(hq: int) -> bool:
+    """True when the quarter-res ConvNeXt chains (3 blocks, halo 9) have a
+    feasible row tile at height hq."""
+    return any(
+        hq % t == 0
+        for t in (72, 60, 54, 48, 40, 36, 32, 30, 24, 20, 18, 16, 12)
+        if t > 9
+    )
+
+
+def _middle_quarter_xla(net, params_mid, d1, precision="fast"):
+    """Small-image fallback: the whole quarter/eighth section with the flax
+    modules (XLA), as before the quarter level moved into fused chains."""
     if precision != "fast":
         with jax.default_matmul_precision("high"):
-            return _middle_cnx_body(net, params_mid, d1, precision)
-    return _middle_cnx_body(net, params_mid, d1, precision)
+            return _middle_quarter_xla_body(net, params_mid, d1, precision)
+    return _middle_quarter_xla_body(net, params_mid, d1, precision)
 
 
-def _middle_cnx_body(net, params_mid, d1, precision):
+def _middle_quarter_xla_body(net, params_mid, d1, precision):
     from rvdd_tpu.ops.resize import maxpool2x2, upsample2x_bilinear
     from rvdd_tpu.models.unet import zero_pad_to
 
     dt = jnp.bfloat16 if precision == "fast" else jnp.float32
-    fa = precision == "fast"  # tanh GELU only in the fast mode
+    fa = precision == "fast"
 
     def block(name, cin, x):
         return ConvNeXtBlock(cin, F, 7, net.layerscale_init, dt, fa).apply(
@@ -179,12 +206,41 @@ def _middle_cnx_body(net, params_mid, d1, precision):
     h = block("dec_up0", F, h)
     h = zero_pad_to(h, skip2.shape[-3], skip2.shape[-2])
     h = jnp.concatenate([h, skip2], axis=-1)
-    h = nblock("dec_conv0", 2 * F, 2, h)
-    return h
+    return nblock("dec_conv0", 2 * F, 2, h)
+
+
+def _middle8_cnx(net, params_mid, d2, precision="fast"):
+    """Eighth-res core with the flax modules (XLA): enc_down2 -> enc3 ->
+    bottleneck; input/output [1, H/8, W/8, 48].  The quarter-res blocks run
+    as fused chains (XLA ConvNeXt blocks at [1,270,480,48] cost ~1 ms
+    each)."""
+    if precision != "fast":
+        with jax.default_matmul_precision("high"):
+            return _middle8_cnx_body(net, params_mid, d2, precision)
+    return _middle8_cnx_body(net, params_mid, d2, precision)
+
+
+def _middle8_cnx_body(net, params_mid, d2, precision):
+    dt = jnp.bfloat16 if precision == "fast" else jnp.float32
+    fa = precision == "fast"  # tanh GELU only in the fast mode
+
+    def block(name, cin, x):
+        return ConvNeXtBlock(cin, F, 7, net.layerscale_init, dt, fa).apply(
+            {"params": params_mid[name]}, x
+        )
+
+    def nblock(name, cin, n, x):
+        return NConvNeXtBlock(cin, F, n, 7, net.layerscale_init, dt, fa).apply(
+            {"params": params_mid[name]}, x
+        )
+
+    h = block("enc_down2", F, d2)
+    h = nblock("enc_conv3", F, 2, h)
+    return nblock("bottleneck", F, 2, h)
 
 
 def _chain(ch, x, aux, h, w, interpret, aux_channels=None, upsample=False,
-           tile_h=0, prec=None):
+           tile_h=0, prec=None, combine=None):
     prec = prec or FUSED_PRECISIONS["fast"]
     return fused_convnext_chain(
         x,
@@ -194,6 +250,7 @@ def _chain(ch, x, aux, h, w, interpret, aux_channels=None, upsample=False,
         w_img=w,
         aux=aux,
         emit=ch["emit"],
+        combine=combine,
         tail=ch.get("tail", ()),
         tail_couts=ch.get("tail_couts", ()),
         aux_channels=aux_channels,
@@ -213,25 +270,10 @@ def fast_forward_planar_cnx(
 ):
     """Planar core: xp [(H*in_pad), WL] -> (out [(H*out_pad), WL],
     feat [(H*48), WL] or None).  precision: FUSED_PRECISIONS key.
-    combine_state=True instead returns ([H, cf, WL] recurrence-state
-    buffer, None) — emulated by concat here (the ConvUNet chain kernel
-    writes it directly)."""
-    if combine_state:
-        out_p, feat_p = fast_forward_planar_cnx(
-            net, packed, xp, aux, h, w, interpret, aux_channels, precision
-        )
-        wl = xp.shape[-1]
-        bd = FUSED_PRECISIONS[precision]["band_dtype"]
-        blocks = [
-            out_p.reshape(h, -1, wl)[:, :3],
-            jnp.zeros((h, 5, wl), bd),
-        ]
-        if feat_p is not None:
-            blocks.append(feat_p.reshape(h, -1, wl))
-        from rvdd_tpu.recurrent.engine import _edge_pad_planar
-
-        st = jnp.concatenate([b.astype(bd) for b in blocks], axis=1)
-        return _edge_pad_planar(st, w), None
+    combine_state=True instead returns the pre-padded [H, cf,
+    WL + STATE_LANE_EXTRA] recurrence-state buffer ([den | pad | feat],
+    edge-replicated lane margins) written directly by the dec2 chain
+    kernel."""
     wl = xp.shape[-1]
     assert wl % 512 == 0
     ch = packed["chains"]
@@ -244,15 +286,45 @@ def fast_forward_planar_cnx(
     (skip1,) = _chain(ch["B"], d0, None, h // 2, w // 2, interpret, prec=prec)
     d1 = maxpool2x2_planar(skip1, h // 2)
 
-    d1_nhwc = from_planar(d1, h // 4, w // 4)[None].astype(bd)
-    m = _middle_cnx(net, packed["params_mid"], d1_nhwc, precision)[0]
+    if _quarter_tileable(h // 4):
+        (skip2,) = _chain(ch["C"], d1, None, h // 4, w // 4, interpret,
+                          prec=prec)
+        d2 = maxpool2x2_planar(skip2, h // 4)
 
-    m_lanes = lane_resize2x_ac(to_planar(m, wl // 4, dtype=bd), w // 4, bd)
+        d2_nhwc = from_planar(d2, h // 8, w // 8)[None].astype(bd)
+        m8 = _middle8_cnx(net, packed["params_mid"], d2_nhwc, precision)[0]
+
+        m8_lanes = lane_resize2x_ac(
+            to_planar(m8, wl // 8, dtype=bd), w // 8, bd
+        )
+        (dec0,) = _chain(
+            ch["dec0"], m8_lanes, skip2, h // 4, w // 4, interpret,
+            upsample=True, prec=prec,
+        )
+        m_lanes = lane_resize2x_ac(dec0, w // 4, bd)
+    else:
+        # small images: no feasible quarter-res row tile (3-block halo 9)
+        d1_nhwc = from_planar(d1, h // 4, w // 4)[None].astype(bd)
+        m = _middle_quarter_xla(net, packed["params_mid"], d1_nhwc, precision)[0]
+        m_lanes = lane_resize2x_ac(to_planar(m, wl // 4, dtype=bd), w // 4, bd)
     (dec1,) = _chain(
         ch["dec1"], m_lanes, skip1, h // 2, w // 2, interpret, upsample=True,
         prec=prec,
     )
     dec1_lanes = lane_resize2x_ac(dec1, w // 2, bd)
+    if combine_state:
+        from rvdd_tpu.ops.pallas.warp_rowmajor import (
+            STATE_LANE_EXTRA,
+            STATE_PAD_LEFT,
+        )
+
+        cf = 56 if net.feature_rec else 8
+        (state3,) = _chain(
+            ch["dec2"], dec1_lanes, skip0, h, w, interpret,
+            aux_channels=None, upsample=True, prec=prec,
+            combine=(cf, STATE_PAD_LEFT, wl + STATE_LANE_EXTRA),
+        )
+        return state3, None
     feat_p, out = _chain(
         ch["dec2"], dec1_lanes, skip0, h, w, interpret,
         aux_channels=None, upsample=True, prec=prec,

@@ -62,7 +62,10 @@ def _normalize(x, kind: str):
         return (x - mean) * jax.lax.rsqrt(var + 1e-5)
     raise NotImplementedError(
         f"normalization '{kind}' (the reference default is Identity; "
-        "'batch' would need running-stats state)"
+        "'batch' is not reachable from the reference CLI either — "
+        "parse_kwargs leaves it a string and networks/unet.py:349-351 "
+        "then calls it as a module class, which raises TypeError; "
+        "BatchNorm2d is named only in a docstring, networks/unet.py:297)"
     )
 
 

@@ -94,6 +94,7 @@ def _cnx_kernel(
     has_proj: Sequence[bool],
     cins: Sequence[int],
     emit: Sequence[int],
+    combine,  # None | (total_c, pad_l, lane_total): single combined output
     aux_c: int,
     aux_off: int,
     n_tiles: int,
@@ -123,7 +124,7 @@ def _cnx_kernel(
         pos += n
     tail_refs = refs[pos : pos + 2 * n_tail]
     pos += 2 * n_tail
-    n_outs = len(emit) + n_tail
+    n_outs = 1 if combine else (len(emit) + n_tail)
     out_refs = refs[pos : pos + n_outs]
     scratch = list(refs[pos + n_outs :])
     win_x = scratch.pop(0)
@@ -503,7 +504,18 @@ def _cnx_kernel(
 
             jax.lax.fori_loop(0, rows_out, block_row, 0)
 
-        if b in emit:
+        if b in emit and combine:
+            # recurrence-state emit: the feature block lands at channel 8
+            # of the [th, total_c, lane_total] state buffer (after
+            # [den 3 | pad 5]); margins are edge-replicated at the end
+            if combine[0] > 8:
+                src3 = out_band[h_out * F : (h_out + th) * F, :].reshape(
+                    th, F, wl
+                )
+                out_refs[0][
+                    :, 8 : 8 + F, combine[1] : combine[1] + wl
+                ] = src3.astype(out_refs[0].dtype)
+        elif b in emit:
             out_refs[emit_idx][:, :] = out_band[
                 h_out * F : (h_out + th) * F, :
             ].astype(out_refs[emit_idx].dtype)
@@ -518,11 +530,12 @@ def _cnx_kernel(
             tw = tail_refs[2 * tl][:, :]
             tb = tail_refs[2 * tl + 1][:, :]
             cout = tail_couts[tl]
-            out_ref = out_refs[emit_idx]
+            out_ref = out_refs[0] if combine else out_refs[emit_idx]
             emit_idx += 1
+            pad_l = combine[1] if combine else 0
 
             def tail_row(r, carry, *, tw=tw, tb=tb, cout=cout,
-                         out_ref=out_ref, in_band=in_band):
+                         out_ref=out_ref, in_band=in_band, pad_l=pad_l):
                 xrow = in_band[pl.ds(pl.multiple_of(r * F, 8), F), :]
                 y = jax.lax.dot_general(
                     tw, xrow, (((1,), (0,)), ((), ())),
@@ -530,12 +543,29 @@ def _cnx_kernel(
                     precision=precision,
                 ) + tb
                 y = y * lane_mask
-                out_ref[pl.ds(pl.multiple_of(r * cout, 8), cout), :] = (
-                    y.astype(out_ref.dtype)
-                )
+                if combine:
+                    out_ref[pl.ds(r, 1), 0:cout, pad_l : pad_l + wl] = (
+                        y.astype(out_ref.dtype)[None]
+                    )
+                else:
+                    out_ref[pl.ds(pl.multiple_of(r * cout, 8), cout), :] = (
+                        y.astype(out_ref.dtype)
+                    )
                 return carry
 
             jax.lax.fori_loop(0, th, tail_row, 0)
+
+    if combine:
+        # edge-replicate the lane margins of the whole state buffer once
+        tc_, pad_l, lane_total = combine
+        edge_l = out_refs[0][:, :, pad_l : pad_l + 1]
+        out_refs[0][:, :, 0:pad_l] = jnp.broadcast_to(
+            edge_l, (th, tc_, pad_l)
+        )
+        edge_r = out_refs[0][:, :, pad_l + w_img - 1 : pad_l + w_img]
+        out_refs[0][:, :, pad_l + w_img : lane_total] = jnp.broadcast_to(
+            edge_r, (th, tc_, lane_total - pad_l - w_img)
+        )
 
 
 PRECISIONS = {
@@ -548,7 +578,7 @@ PRECISIONS = {
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "h_img", "w_img", "emit", "tile_h", "out_dtype", "aux_channels",
+        "h_img", "w_img", "emit", "combine", "tile_h", "out_dtype", "aux_channels",
         "upsample_input", "ksize", "tail_couts", "has_proj", "band_dtype",
         "mxu_precision", "gelu_exact", "dw_impl", "dw_rows", "dw_group",
         "ln_impl", "debug_skip", "interpret",
@@ -562,6 +592,8 @@ def fused_convnext_chain(
     w_img: int,
     aux: Optional[jnp.ndarray] = None,
     emit: Sequence[int] = (),
+    combine=None,  # (total_c, pad_l, lane_total): single pre-padded
+    #   recurrence-state output [head tail at ch 0 | emitted block at ch 8]
     tail=(),  # ((w [cout,48], b [cout]), ...) trailing 1x1 head layers
     tile_h: int = 0,
     out_dtype=jnp.bfloat16,
@@ -662,6 +694,7 @@ def fused_convnext_chain(
         _cnx_kernel,
         th=tile_h, wl=wl, w_img=w_img, h_img=h_img, n_blocks=nb,
         has_proj=tuple(has_proj), cins=tuple(cins), emit=emit,
+        combine=combine,
         aux_c=aux_c, aux_off=aux_off, n_tiles=n_tiles,
         upsample_input=upsample_input, ksize=ksize, n_tail=len(tail),
         tail_couts=tuple(tail_couts), out_dtype=out_dtype,
@@ -704,16 +737,26 @@ def fused_convnext_chain(
 
     out_specs = []
     out_shapes = []
-    for _ in emit:
+    if combine is not None:
+        tc_, _, lt_ = combine
         out_specs.append(
-            pl.BlockSpec((tile_h * F, wl), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (tile_h, tc_, lt_), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
         )
-        out_shapes.append(jax.ShapeDtypeStruct((h_img * F, wl), out_dtype))
-    for co in tail_couts:
-        out_specs.append(
-            pl.BlockSpec((tile_h * co, wl), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        )
-        out_shapes.append(jax.ShapeDtypeStruct((h_img * co, wl), out_dtype))
+        out_shapes.append(jax.ShapeDtypeStruct((h_img, tc_, lt_), out_dtype))
+    else:
+        for _ in emit:
+            out_specs.append(
+                pl.BlockSpec((tile_h * F, wl), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            )
+            out_shapes.append(jax.ShapeDtypeStruct((h_img * F, wl), out_dtype))
+        for co in tail_couts:
+            out_specs.append(
+                pl.BlockSpec((tile_h * co, wl), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            )
+            out_shapes.append(jax.ShapeDtypeStruct((h_img * co, wl), out_dtype))
 
     scratch = [pltpu.VMEM(((tile_h + 2 * halos[0]) * cx, wl), band_dtype)]
     if upsample_input:

@@ -17,9 +17,10 @@ pytestmark = pytest.mark.slow
 def _interpret(monkeypatch):
     import jax.experimental.pallas as pl_mod
     import rvdd_tpu.ops.pallas.conv_pallas as cp
+    import rvdd_tpu.ops.pallas.convnext_pallas as xp
     import rvdd_tpu.ops.pallas.warp_rowmajor as wr
 
-    for mod in (cp, wr):
+    for mod in (cp, xp, wr):
         orig = pl_mod.pallas_call
 
         def patched(*a, _orig=orig, **k):
@@ -66,5 +67,54 @@ def test_fast_step_matches_generic(feat_rec, fd):
     # second step: recurrence carried through the planar state
     want2, _ = inference_step(cfg_ref, net, params, wstate, frames, flows, nil)
     got2, _ = inference_step(cfg_fast, net, params, fstate, frames, flows, nil)
+    err2 = float(jnp.max(jnp.abs(got2 - want2))) / (float(jnp.std(want2)) + 1e-6)
+    assert err2 < 0.3, f"step-2 normalized max err {err2}"
+
+
+@pytest.mark.parametrize("feat_rec,fd", [(True, 1)])
+def test_fast_step_convnext_matches_generic(feat_rec, fd):
+    """Flagship ConvNeXt+feat+future fused engine step (combine-state dec2
+    emit) vs the generic XLA step.  h=64 is the fast path's minimum."""
+    h = w = 64
+    in_nc = (2 + fd) * 3
+    net_ref = build_network("newunet-mode=feat", in_nc, 3, feat_rec)
+    params = init_network(net_ref, jax.random.PRNGKey(0), (1, h, w, in_nc))
+    net_fast = build_network(
+        "newunet-mode=feat", in_nc, 3, feat_rec, fast_act=True,
+        dtype=jnp.bfloat16,
+    )
+
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(
+        rng.uniform(-1, 1, (1, 2 + fd, h, w, 3)).astype(np.float32)
+    )
+    yy, xx = np.mgrid[0:h, 0:w]
+    fl = np.stack([1.5 + np.sin(xx / 20), -0.8 + 0.5 * np.cos(yy / 9)], -1)
+    flows = jnp.asarray(
+        np.broadcast_to(fl, (1, 1 + fd, h, w, 2)).astype(np.float32).copy()
+    )
+
+    cfg_ref = EngineConfig(
+        model_patch_depth=2, patch_depth=2 + fd, future_patch_depth=fd,
+        feature_rec=feat_rec,
+    )
+    nil = net_ref.nil_features(1, h, w)
+    want, wstate = inference_step(cfg_ref, net_ref, params, None, frames, flows, nil)
+
+    cfg_fast = EngineConfig(
+        model_patch_depth=2, patch_depth=2 + fd, future_patch_depth=fd,
+        feature_rec=feat_rec, net_impl="fused", state_dtype="bfloat16",
+    )
+    got, fstate = inference_step(
+        cfg_fast, net_fast, params, None, frames, flows, nil
+    )
+
+    scale = float(jnp.std(want)) + 1e-6
+    err = float(jnp.max(jnp.abs(got - want))) / scale
+    assert err < 0.2, f"normalized max err {err}"
+
+    # second step: recurrence carried through the combined planar state
+    want2, _ = inference_step(cfg_ref, net_ref, params, wstate, frames, flows, nil)
+    got2, _ = inference_step(cfg_fast, net_fast, params, fstate, frames, flows, nil)
     err2 = float(jnp.max(jnp.abs(got2 - want2))) / (float(jnp.std(want2)) + 1e-6)
     assert err2 < 0.3, f"step-2 normalized max err {err2}"
