@@ -35,7 +35,7 @@ def main():
     ap.add_argument("--trace_dir", default=None,
                     help="capture a 5-step jax.profiler device trace here")
     ap.add_argument("--precision", default="fast",
-                    choices=["fast", "mixed", "accurate"],
+                    choices=["fast", "mixed", "accurate", "wsplit", "wf32"],
                     help="fused-path numerics preset (FUSED_PRECISIONS)")
     args = ap.parse_args()
 

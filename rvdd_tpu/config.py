@@ -108,6 +108,9 @@ class Options:
     #: fused-path numerics: 'fast' (bf16) | 'mixed' (fp32 storage, bf16
     #: MXU) | 'accurate' (fp32 storage, 3-pass MXU ~ fp32)
     fused_precision: str = "fast"
+    #: fused-path recurrence-carry storage; bf16 carry rounding feeds back
+    #: through the recurrence and accumulates over a clip (drift)
+    state_dtype: str = "float32"
     profile_dir: str = ""  # capture a jax.profiler trace of a few steps
     distributed: bool = False  # multi-host: call jax.distributed.initialize()
 
@@ -149,7 +152,7 @@ class Options:
             lambda_l1=self.lambda_L1,
             warp_impl=self.resolve_warp_impl(),
             net_impl=self.net_impl,
-            state_dtype="bfloat16" if self.net_impl == "fused" else "float32",
+            state_dtype=self.state_dtype,
             fused_precision=self.fused_precision,
         )
 

@@ -266,7 +266,7 @@ def _chain(ch, x, aux, h, w, interpret, aux_channels=None, upsample=False,
 
 def fast_forward_planar_cnx(
     net, packed, xp, aux, h, w, interpret=False, aux_channels=None,
-    precision="fast", combine_state=False,
+    precision="fast", combine_state=False, state_dtype=None,
 ):
     """Planar core: xp [(H*in_pad), WL] -> (out [(H*out_pad), WL],
     feat [(H*48), WL] or None).  precision: FUSED_PRECISIONS key.
@@ -319,9 +319,14 @@ def fast_forward_planar_cnx(
         )
 
         cf = 56 if net.feature_rec else 8
+        prec_state = prec
+        if state_dtype == jnp.float32 and prec["band_dtype"] != jnp.float32:
+            # fp32 recurrence carry: run the state-emitting chain with fp32
+            # bands/out so no bf16 carry rounding feeds back (drift)
+            prec_state = dict(prec, band_dtype=jnp.float32)
         (state3,) = _chain(
             ch["dec2"], dec1_lanes, skip0, h, w, interpret,
-            aux_channels=None, upsample=True, prec=prec,
+            aux_channels=None, upsample=True, prec=prec_state,
             combine=(cf, STATE_PAD_LEFT, wl + STATE_LANE_EXTRA),
         )
         return state3, None

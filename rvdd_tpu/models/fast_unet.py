@@ -34,10 +34,30 @@ from rvdd_tpu.ops.pallas.conv_pallas import (
 #: throughput mode; 'accurate' stores fp32 bands and runs 3-pass MXU dots
 #: (~fp32) for reference-parity outputs at reduced speed; 'mixed' keeps
 #: 1-pass bf16 dots but removes every storage/glue rounding.
+#:
+#: weight_dtype selects the weight representation per chain/layer:
+#: None = band dtype; 'split' = w_hi + w_lo bf16 pair contracted in two
+#: 1-pass MXU dots (rounding-free weights, 2x MXU on that layer); a dict
+#: maps chain name -> value, a tuple gives per-layer values.  Error
+#: attribution on the realistic-regime val set (tools/fused_quality.py
+#: --interpret, textured ~41 dB set) showed the output chain's last two
+#: layers carry ~2/3 of the fused-path error power: splitting just
+#: [post0, head] moves convunet+feat from -0.100 dB to -0.037 dB for
+#: ~10% extra MXU work on one of six chains.
 FUSED_PRECISIONS = {
-    "fast": dict(band_dtype=jnp.bfloat16, mxu_precision="default", gelu_exact=False),
+    "fast": dict(
+        band_dtype=jnp.bfloat16, mxu_precision="default", gelu_exact=False,
+        weight_dtype={"dec2": (None, None, None, "split", "split")},
+    ),
     "mixed": dict(band_dtype=jnp.float32, mxu_precision="default", gelu_exact=True),
     "accurate": dict(band_dtype=jnp.float32, mxu_precision="highest", gelu_exact=True),
+    # every layer split (max weight fidelity at bf16 bandwidth, ~2x MXU)
+    "wsplit": dict(band_dtype=jnp.bfloat16, mxu_precision="default",
+                   gelu_exact=False, weight_dtype="split"),
+    # attribution-only: fp32 weights (6-pass on real MXU — use for error
+    # decomposition in interpret mode, not production)
+    "wf32": dict(band_dtype=jnp.bfloat16, mxu_precision="highest",
+                 gelu_exact=False, weight_dtype=jnp.float32),
 }
 
 
@@ -356,8 +376,15 @@ def convunet_fast_forward(
 
 
 def _chain(packed_chain, x, aux, h, w, interpret, aux_channels=None,
-           upsample_input=False, prec=None, emit=None, combine=None):
+           upsample_input=False, prec=None, emit=None, combine=None,
+           wname=None):
     prec = prec or FUSED_PRECISIONS["fast"]
+    wd = prec.get("weight_dtype")
+    if isinstance(wd, dict):  # per-chain override (selective weight split)
+        wd = wd.get(wname)
+    bdt = prec["band_dtype"]
+    if isinstance(bdt, dict):  # per-chain band storage override
+        bdt = bdt.get(wname, jnp.bfloat16)
     return fused_conv_chain(
         x,
         packed_chain["ws"],
@@ -372,41 +399,49 @@ def _chain(packed_chain, x, aux, h, w, interpret, aux_channels=None,
         pool_rows=() if combine is not None else packed_chain.get("pool", ()),
         aux_channels=aux_channels,
         upsample_input=upsample_input,
-        out_dtype=prec["band_dtype"],
-        band_dtype=prec["band_dtype"],
+        out_dtype=bdt,
+        band_dtype=bdt,
         mxu_precision=prec["mxu_precision"],
+        weight_dtype=wd,
         interpret=interpret,
     )
 
 
 def fast_forward_planar(
     net, packed, xp, aux, h, w, interpret=False, aux_channels=None,
-    precision="fast", combine_state=False,
+    precision="fast", combine_state=False, state_dtype=None,
 ):
     """Planar core: xp [(H*in_pad), WL] -> (out [(H*out_pad), WL],
     feat [(H*48), WL] or None).  aux: recurrent features, either
     [(H*48), WL] or a wider planar tensor with aux_channels=(offset, 48).
     precision: FUSED_PRECISIONS key.  combine_state=True returns instead
-    ([H, cf, WL] recurrence-state buffer, None) written by the kernel."""
+    ([H, cf, WL] recurrence-state buffer, None) written by the kernel.
+    state_dtype=float32 runs the state-emitting chain with fp32 bands so
+    the recurrence carry is written rounding-free: bf16 carry rounding
+    feeds back through the recurrence and accumulates over a clip
+    (drift), while per-frame input rounding does not."""
     wl = xp.shape[-1]
     assert wl % 512 == 0, "planar lane count must be a 512-multiple"
     prec = FUSED_PRECISIONS[precision]
     bd = prec["band_dtype"]
+    if isinstance(bd, dict):  # per-chain experiment presets: bf16 glue
+        bd = jnp.bfloat16
 
     skip0, d0pre = _chain(
-        packed["A"], xp, aux, h, w, interpret, aux_channels, prec=prec
+        packed["A"], xp, aux, h, w, interpret, aux_channels, prec=prec,
+        wname="A",
     )
     d0 = lanepool2x_planar(d0pre)  # rows already pooled in-kernel
 
     skip1, d1pre = _chain(packed["B"], d0, None, h // 2, w // 2, interpret,
-                          prec=prec)
+                          prec=prec, wname="B")
     d1 = lanepool2x_planar(d1pre)
 
     # quarter res is still worth fusing (the 3x3 convs at H/4 x W/4 cost
     # ~0.7-1.2 ms each as XLA NHWC convs vs ~0.1 ms fused); only the
     # eighth-res core stays XLA
     skip2, d2pre = _chain(packed["C"], d1, None, h // 4, w // 4, interpret,
-                          prec=prec)
+                          prec=prec, wname="C")
     d2 = lanepool2x_planar(d2pre)
 
     d2_nhwc = from_planar(d2, h // 8, w // 8)[None].astype(bd)
@@ -419,12 +454,12 @@ def fast_forward_planar(
     )
     (dec0,) = _chain(
         packed["dec0"], m8_lanes, skip2, h // 4, w // 4,
-        interpret, upsample_input=True, prec=prec,
+        interpret, upsample_input=True, prec=prec, wname="dec0",
     )
     m_lanes = lane_upsample2x_planar(dec0, h // 4, w // 4)
     (dec1,) = _chain(
         packed["dec1"], m_lanes, skip1, h // 2, w // 2,
-        interpret, upsample_input=True, prec=prec,
+        interpret, upsample_input=True, prec=prec, wname="dec1",
     )
     dec1_lanes = lane_upsample2x_planar(dec1, h // 2, w // 2)
     if combine_state:
@@ -444,9 +479,15 @@ def fast_forward_planar(
         else:
             cmb = (8, ((4, 0),), STATE_PAD_LEFT, wl + STATE_LANE_EXTRA)
             em = (4,)
+        prec_state = prec
+        if state_dtype == jnp.float32 and prec["band_dtype"] != jnp.float32:
+            # fp32 carry: run the state-emitting chain with fp32 bands/out
+            # (weights keep the preset's representation)
+            prec_state = dict(prec, band_dtype=jnp.float32)
         (state3,) = _chain(
             packed["dec2"], dec1_lanes, skip0, h, w, interpret,
-            upsample_input=True, prec=prec, emit=em, combine=cmb,
+            upsample_input=True, prec=prec_state, emit=em, combine=cmb,
+            wname="dec2",
         )
         return state3, None
     new_feat, out = _chain(

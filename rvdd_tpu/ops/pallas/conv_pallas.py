@@ -83,6 +83,7 @@ def _chain_kernel(
     upsample_input: bool,
     out_dtype,
     band_dtype,
+    weight_split,
     precision,
 ):
     nl = len(layer_specs)
@@ -263,7 +264,9 @@ def _chain_kernel(
                 y.astype(band_dtype)
             )
 
-        def dot(wm, pat):
+        def dot1(wm, pat):
+            if wm.dtype != pat.dtype:
+                pat = pat.astype(wm.dtype)
             return jax.lax.dot_general(
                 wm, pat, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -272,6 +275,14 @@ def _chain_kernel(
                 # force an unsupported fp32-contract on bf16 operands
                 precision=precision,
             )
+
+        def dot(wm, pat, *, _split=weight_split[l]):
+            if _split:
+                # w = w_hi + w_lo (bf16 pair, stacked on the cout axis):
+                # two 1-pass dots recover ~16 mantissa bits of the weights
+                half = wm.shape[0] // 2
+                return dot1(wm[:half], pat) + dot1(wm[half:], pat)
+            return dot1(wm, pat)
 
         if ks == 3:
             # two output rows per iteration share a dy-major patch stack:
@@ -398,7 +409,7 @@ PRECISIONS = {
     static_argnames=(
         "acts", "kernel_sizes", "emit", "pool_rows", "combine", "h_img", "w_img", "tile_h",
         "out_dtype", "aux_channels", "upsample_input", "band_dtype",
-        "mxu_precision", "interpret",
+        "mxu_precision", "weight_dtype", "interpret",
     ),
 )
 def fused_conv_chain(
@@ -423,6 +434,8 @@ def fused_conv_chain(
     band_dtype=jnp.bfloat16,  # inter-layer activation storage precision
     mxu_precision: str = "default",  # MXU passes: 'default' (1-pass bf16)
     #                     or 'high' (3-pass, ~fp32 for fp32 bands)
+    weight_dtype=None,  # None -> band_dtype; 'split' -> bf16 hi+lo pair
+    #                     (two 1-pass dots, rounding-free weights); or a dtype
     interpret: bool = False,
 ):
     """Run a fused chain of convs; returns one [(H*Cout_l), WL] per emit."""
@@ -504,6 +517,14 @@ def fused_conv_chain(
     assert not pool_rows or tile_h % 2 == 0
     n_tiles = h_img // tile_h
 
+    # weight_dtype: None/dtype applies to every layer; 'split' every layer;
+    # a tuple gives per-layer values (selective split)
+    wd_l = (
+        tuple(weight_dtype)
+        if isinstance(weight_dtype, tuple)
+        else (weight_dtype,) * nl
+    )
+
     kern = functools.partial(
         _chain_kernel,
         th=tile_h,
@@ -522,6 +543,7 @@ def fused_conv_chain(
         upsample_input=upsample_input,
         out_dtype=out_dtype,
         band_dtype=band_dtype,
+        weight_split=tuple(wd == "split" for wd in wd_l),
         precision=PRECISIONS[mxu_precision],
     )
 
@@ -569,7 +591,17 @@ def fused_conv_chain(
         scratch.append(pltpu.VMEM((rows * layer_specs[l][1], wl), band_dtype))
     scratch.append(pltpu.SemaphoreType.DMA)
 
-    wms = [w.astype(band_dtype) for w in weights]
+    def _split(w):
+        hi = w.astype(jnp.bfloat16)
+        lo = (w.astype(jnp.float32) - hi.astype(jnp.float32)).astype(
+            jnp.bfloat16
+        )
+        return jnp.concatenate([hi, lo], axis=0)
+
+    wms = [
+        _split(w) if wd == "split" else w.astype(wd or band_dtype)
+        for w, wd in zip(weights, wd_l)
+    ]
     bms = [b.reshape(-1, 1).astype(jnp.float32) for b in biases]
 
     outs = pl.pallas_call(

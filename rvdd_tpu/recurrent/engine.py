@@ -192,7 +192,18 @@ def _fused_state_c(cfg: EngineConfig) -> int:
 def _fused_band_dtype(cfg: EngineConfig):
     from rvdd_tpu.models.fast_unet import FUSED_PRECISIONS
 
-    return FUSED_PRECISIONS[cfg.fused_precision]["band_dtype"]
+    bd = FUSED_PRECISIONS[cfg.fused_precision]["band_dtype"]
+    return jnp.bfloat16 if isinstance(bd, dict) else bd
+
+
+def _fused_state_dtype(cfg: EngineConfig):
+    """Recurrence-carry storage.  bf16 carry rounding feeds back through
+    the recurrence and accumulates over a clip (drift); float32 (the
+    default) writes the carry rounding-free (fast_forward_planar runs the
+    state-emitting chain with fp32 bands) for ~2% extra HBM traffic."""
+    if cfg.state_dtype == "float32":
+        return jnp.float32
+    return _fused_band_dtype(cfg)
 
 
 def _init_state_planar(cfg: EngineConfig, frames: jnp.ndarray) -> RecurrentState:
@@ -203,7 +214,7 @@ def _init_state_planar(cfg: EngineConfig, frames: jnp.ndarray) -> RecurrentState
         b, h, w, _ = f0.shape
     wl = _planar_wl(w)
     cf = _fused_state_c(cfg)
-    bd = _fused_band_dtype(cfg)
+    bd = _fused_state_dtype(cfg)
     prev = jax.vmap(lambda f: _frame_to_planar(f, wl, cf, bd))(f0)
     prev = _edge_pad_planar(prev, w)  # pre-padded state lane layout
     return RecurrentState(prev.reshape(b, h * cf, prev.shape[-1]), None)
@@ -356,6 +367,7 @@ def _fast_planar_step(
     wl = _planar_wl(w)
     cf = _fused_state_c(cfg)
     bd = _fused_band_dtype(cfg)
+    sd = _fused_state_dtype(cfg)
     in_nc = cfg.network_input_nc
     in_pad = -(-in_nc // 8) * 8
     if packed is None:
@@ -405,6 +417,7 @@ def _fast_planar_step(
             aux_channels=(8, 48) if cfg.feature_rec else None,
             precision=cfg.fused_precision,
             combine_state=True,
+            state_dtype=sd,
         )
         # state3: [H, cf, WL + STATE_LANE_EXTRA], image at STATE_PAD_LEFT
         den = jnp.transpose(
@@ -414,15 +427,16 @@ def _fast_planar_step(
 
         if cfg.prev_noisy_frame:
             # ablation: carry the noisy current frame instead of the output
-            blocks = [curp, jnp.zeros((h, 5, wl), bd)]
+            blocks = [curp.astype(sd), jnp.zeros((h, 5, wl), sd)]
             if cfg.feature_rec:
                 blocks.append(
                     state3[:, 8:, STATE_PAD_LEFT : STATE_PAD_LEFT + wl]
+                    .astype(sd)
                 )
             nxt = _edge_pad_planar(jnp.concatenate(blocks, axis=1), w)
-            fused_next.append(nxt.reshape(h * cf, -1).astype(bd))
+            fused_next.append(nxt.reshape(h * cf, -1).astype(sd))
         else:
-            fused_next.append(state3.reshape(h * cf, -1).astype(bd))
+            fused_next.append(state3.reshape(h * cf, -1).astype(sd))
 
     return jnp.stack(dens), RecurrentState(jnp.stack(fused_next), None)
 

@@ -145,3 +145,47 @@ def test_upsample_input(h, w):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=0.05, rtol=0.05
     )
+
+
+def test_weight_split_recovers_weight_rounding():
+    """weight_dtype='split' (w_hi + w_lo bf16 pair, two MXU passes) must be
+    much closer to the fp32 reference than bf16-rounded weights when the
+    input is exactly representable in bf16."""
+    rng = np.random.default_rng(7)
+    h, w, c = 16, 64, 8
+    wl = lane_width(w)
+    x = jnp.asarray(
+        rng.standard_normal((1, h, w, c)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    wt = jnp.asarray((rng.standard_normal((3, 3, c, c)) * 0.2).astype(np.float32))
+    bt = jnp.asarray((rng.standard_normal(c) * 0.1).astype(np.float32))
+
+    # quantize the exact reference to bf16: the kernel's band store rounds
+    # every output to bf16 regardless of weight fidelity, so the comparison
+    # must factor that common floor out to see the weight-rounding term
+    want = ref_conv(x.astype(jnp.float32), wt, bt, "none", 3)
+    want = want.astype(jnp.bfloat16).astype(jnp.float32)
+
+    def run(weight_dtype):
+        (out,) = fused_conv_chain(
+            to_planar(x, wl),
+            (pack_weight(wt),),
+            (bt,),
+            ("none",),
+            (3,),
+            h_img=h,
+            w_img=w,
+            tile_h=8,
+            out_dtype=jnp.float32,
+            weight_dtype=weight_dtype,
+            interpret=True,
+        )
+        return np.abs(np.asarray(from_planar(out, h, w)) - np.asarray(want)).mean()
+
+    # mean error: split weights agree with the bf16-quantized exact output
+    # up to rounding-boundary ties, bf16 weights miss by ~1 ulp everywhere
+    err_bf16 = run(None)
+    err_split = run("split")
+    err_tuple = run(("split",))  # per-layer form
+    assert err_split < err_bf16 / 4, (err_split, err_bf16)
+    assert err_tuple == err_split

@@ -64,10 +64,18 @@ def test_distributed_flag_calls_jax_distributed_initialize(monkeypatch, tmp_path
 def test_fused_precision_presets_complete():
     from rvdd_tpu.models.fast_unet import FUSED_PRECISIONS
 
-    for name in ("fast", "mixed", "accurate"):
+    for name in ("fast", "mixed", "accurate", "wsplit", "wf32"):
         p = FUSED_PRECISIONS[name]
-        assert set(p) == {"band_dtype", "mxu_precision", "gelu_exact"}
+        assert {"band_dtype", "mxu_precision", "gelu_exact"} <= set(p)
+        assert set(p) <= {
+            "band_dtype", "mxu_precision", "gelu_exact", "weight_dtype"
+        }
     assert FUSED_PRECISIONS["fast"]["band_dtype"] == jnp.bfloat16
+    # the headline preset carries the selective weight split (see the
+    # module docstring: output-chain [post0, head] hold ~2/3 of the error)
+    assert FUSED_PRECISIONS["fast"]["weight_dtype"] == {
+        "dec2": (None, None, None, "split", "split")
+    }
     assert FUSED_PRECISIONS["accurate"]["band_dtype"] == jnp.float32
     # Mosaic supports only DEFAULT/HIGHEST in-kernel dot precisions
     assert FUSED_PRECISIONS["accurate"]["mxu_precision"] == "highest"

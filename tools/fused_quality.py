@@ -17,9 +17,12 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
 
 # variants with a fused fast path (model_patch_depth=2, released configs)
 VARIANTS = {
@@ -54,6 +57,24 @@ def build_opt(variant: str, iso: int, dataroot: str, workdir: str, net_impl: str
     )
     opt.isTrain = False
     return opt.finalize()
+
+
+def force_interpret():
+    """Route every pallas_call through the interpreter (CPU evidence path:
+    bit-identical kernel semantics incl. bf16 rounding, no TPU needed)."""
+    import jax.experimental.pallas as pl_mod
+    import rvdd_tpu.ops.pallas.conv_pallas as cp
+    import rvdd_tpu.ops.pallas.convnext_pallas as xp
+    import rvdd_tpu.ops.pallas.warp_rowmajor as wr
+
+    for mod in (cp, xp, wr):
+        orig = pl_mod.pallas_call
+
+        def patched(*a, _orig=orig, **k):
+            k["interpret"] = True
+            return _orig(*a, **k)
+
+        mod.pl.pallas_call = patched
 
 
 def run_one(opt):
@@ -92,8 +113,12 @@ def main():
     ap.add_argument("--cache", default="/tmp/fused_quality/exact_cache.json")
     ap.add_argument("--out", default="/tmp/fused_quality/results.json")
     ap.add_argument("--fused_precision", default="fast",
-                    choices=["fast", "mixed", "accurate"])
+                    choices=["fast", "mixed", "accurate", "wsplit", "wf32"])
+    ap.add_argument("--interpret", action="store_true",
+                    help="run Pallas kernels in interpret mode (CPU)")
     args = ap.parse_args()
+    if args.interpret:
+        force_interpret()
 
     os.makedirs(args.workdir, exist_ok=True)
     cache = {}
