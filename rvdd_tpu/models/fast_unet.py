@@ -377,7 +377,7 @@ def convunet_fast_forward(
 
 def _chain(packed_chain, x, aux, h, w, interpret, aux_channels=None,
            upsample_input=False, prec=None, emit=None, combine=None,
-           wname=None):
+           wname=None, out_dtype=None):
     prec = prec or FUSED_PRECISIONS["fast"]
     wd = prec.get("weight_dtype")
     if isinstance(wd, dict):  # per-chain override (selective weight split)
@@ -399,7 +399,7 @@ def _chain(packed_chain, x, aux, h, w, interpret, aux_channels=None,
         pool_rows=() if combine is not None else packed_chain.get("pool", ()),
         aux_channels=aux_channels,
         upsample_input=upsample_input,
-        out_dtype=bdt,
+        out_dtype=out_dtype or bdt,
         band_dtype=bdt,
         mxu_precision=prec["mxu_precision"],
         weight_dtype=wd,
@@ -479,15 +479,13 @@ def fast_forward_planar(
         else:
             cmb = (8, ((4, 0),), STATE_PAD_LEFT, wl + STATE_LANE_EXTRA)
             em = (4,)
-        prec_state = prec
-        if state_dtype == jnp.float32 and prec["band_dtype"] != jnp.float32:
-            # fp32 carry: run the state-emitting chain with fp32 bands/out
-            # (weights keep the preset's representation)
-            prec_state = dict(prec, band_dtype=jnp.float32)
+        # fp32 carry (state_dtype): the kernel dual-writes the combined
+        # state from the fp32 accumulator, so only the output dtype changes
+        # — bands stay in the preset's storage
         (state3,) = _chain(
             packed["dec2"], dec1_lanes, skip0, h, w, interpret,
-            upsample_input=True, prec=prec_state, emit=em, combine=cmb,
-            wname="dec2",
+            upsample_input=True, prec=prec, emit=em, combine=cmb,
+            wname="dec2", out_dtype=state_dtype,
         )
         return state3, None
     new_feat, out = _chain(

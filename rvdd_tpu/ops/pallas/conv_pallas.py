@@ -249,8 +249,10 @@ def _chain_kernel(
         out_band = bands[l]
         aux_here = aux_c if l == 1 and aux_c else 0
         band_in = in_band  # capture for the closure
+        comb_off = combine[1][l] if (combine and l in emit) else None
 
-        def emit_y(y, r, *, bias, act, cout, out_band, h_out):
+        def emit_y(y, r, *, bias, act, cout, out_band, h_out,
+                   comb_off=comb_off):
             y = y + bias
             if act == "relu":
                 y = jnp.maximum(y, 0.0)
@@ -263,6 +265,24 @@ def _chain_kernel(
             out_band[pl.ds(pl.multiple_of(r * cout, 8), cout), :] = (
                 y.astype(band_dtype)
             )
+            if comb_off is not None:
+                # combined recurrence-state emit straight from the fp32
+                # accumulator: the carry is written rounding-free even with
+                # bf16 bands (bf16 carry rounding feeds back through the
+                # recurrence and accumulates over a clip)
+                rr = r - h_out
+
+                @pl.when((rr >= 0) & (rr < th))
+                def _():
+                    ys = y[None].astype(out_refs[0].dtype)
+                    if len(combine) == 2:
+                        out_refs[0][pl.ds(rr, 1), comb_off : comb_off + cout, :] = ys
+                    else:
+                        pad_l = combine[2]
+                        out_refs[0][
+                            pl.ds(rr, 1), comb_off : comb_off + cout,
+                            pad_l : pad_l + wl,
+                        ] = ys
 
         def dot1(wm, pat):
             if wm.dtype != pat.dtype:
@@ -356,28 +376,25 @@ def _chain_kernel(
             jax.lax.fori_loop(0, rows_out, row_body1, 0)
 
         if l in emit and combine:
-            # write this layer's rows into the combined [th, total_c, *]
-            # state buffer at its channel offset — the engine's post-step
-            # state concat ([den | pad | feat]) becomes a kernel emit.
-            # With lane geometry (pad_left, lane_total), the margins are
-            # written edge-replicated so the buffer is directly consumable
-            # by the warp kernel's pre-aligned window DMA (no XLA pre-pass)
-            src = out_band[h_out * cout : (h_out + th) * cout, :]
-            off = combine[1][l]
-            src3 = src.reshape(th, cout, wl).astype(out_refs[0].dtype)
-            if len(combine) == 2:
-                out_refs[0][:, off : off + cout, :] = src3
-            else:
+            # interior rows were written by emit_y straight from the fp32
+            # accumulator; with lane geometry (pad_left, lane_total), only
+            # the edge-replicated lane margins remain so the buffer is
+            # directly consumable by the warp kernel's pre-aligned window
+            # DMA (no XLA pre-pass)
+            if len(combine) > 2:
+                off = combine[1][l]
                 pad_l, lane_total = combine[2], combine[3]
-                out_refs[0][:, off : off + cout, pad_l : pad_l + wl] = src3
+                edge_l = out_refs[0][:, off : off + cout, pad_l : pad_l + 1]
                 out_refs[0][:, off : off + cout, :pad_l] = jnp.broadcast_to(
-                    src3[:, :, :1], (th, cout, pad_l)
+                    edge_l, (th, cout, pad_l)
                 )
+                edge_r = out_refs[0][
+                    :, off : off + cout, pad_l + w_img - 1 : pad_l + w_img
+                ]
                 out_refs[0][
                     :, off : off + cout, pad_l + w_img : lane_total
                 ] = jnp.broadcast_to(
-                    src3[:, :, w_img - 1 : w_img],
-                    (th, cout, lane_total - pad_l - w_img),
+                    edge_r, (th, cout, lane_total - pad_l - w_img)
                 )
         elif l in emit:
             src = out_band[h_out * cout : (h_out + th) * cout, :]
