@@ -172,3 +172,38 @@ def test_scan_video_fused_packed_outside_body(monkeypatch):
     den2, _ = inference_step(cfg, net, params, st, frames, None, packed=packed)
     assert den1.shape == (1, 64, 64, 3)
     assert np.isfinite(np.asarray(den2)).all()
+
+
+def test_fused_state_dtype_plumbing(monkeypatch):
+    """Default config carries the fused recurrence state in fp32 (bf16
+    carry rounding accumulates over a clip — drift); bfloat16 opt-in."""
+    import jax.experimental.pallas as pl_mod
+    import rvdd_tpu.ops.pallas.conv_pallas as cp
+    import rvdd_tpu.ops.pallas.warp_rowmajor as wr
+
+    for mod in (cp, wr):
+        orig = pl_mod.pallas_call
+
+        def patched(*a, _orig=orig, **k):
+            k["interpret"] = True
+            return _orig(*a, **k)
+
+        monkeypatch.setattr(mod.pl, "pallas_call", patched)
+    from rvdd_tpu.config import Options
+    from rvdd_tpu.models import build_network
+    from rvdd_tpu.models.factory import init_network
+    from rvdd_tpu.recurrent.engine import inference_step
+
+    assert Options().finalize().engine_config().state_dtype == "float32"
+
+    net = build_network("convunet-mode=fixedfeatures", 6, 3, False)
+    params = init_network(net, jax.random.PRNGKey(0), (1, 64, 64, 6))
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.uniform(-1, 1, (1, 2, 64, 64, 3)).astype(np.float32))
+    for sd, want in (("float32", jnp.float32), ("bfloat16", jnp.bfloat16)):
+        cfg = EngineConfig(
+            model_patch_depth=2, patch_depth=5, net_impl="fused",
+            no_warp=True, state_dtype=sd,
+        )
+        _, st = inference_step(cfg, net, params, None, frames, None)
+        assert st.lastden.dtype == want, (sd, st.lastden.dtype)
