@@ -285,6 +285,12 @@ def _chain_kernel(
                         ] = ys
 
         def dot1(wm, pat):
+            if _EMULATE_BF16_DOT:
+                # test-only (tools/fused_quality.py experiments): model the
+                # real MXU's DEFAULT-precision operand rounding when the
+                # interpreter would otherwise compute fp32 dots exactly
+                wm = wm.astype(jnp.bfloat16).astype(jnp.float32)
+                pat = pat.astype(jnp.bfloat16).astype(jnp.float32)
             if wm.dtype != pat.dtype:
                 pat = pat.astype(wm.dtype)
             return jax.lax.dot_general(
@@ -413,6 +419,10 @@ def _chain_kernel(
         in_band = out_band
         in_c = cout
 
+
+#: test-only trace-time switch (see dot1): emulate the MXU's bf16 operand
+#: rounding in interpret mode, where fp32 dots are otherwise exact
+_EMULATE_BF16_DOT = False
 
 PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,

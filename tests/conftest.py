@@ -21,6 +21,14 @@ import jax
 import numpy as np
 import pytest
 
+# The env-var force above is not enough on its own: the axon sitecustomize
+# imports jax at interpreter boot and explicitly config.update()s
+# jax_platforms="axon,cpu", which outranks the env var.  Without this
+# explicit re-update the first array op initializes the axon backend — and
+# when the TPU relay is unreachable that init blocks forever, hanging the
+# whole suite before any output.
+jax.config.update("jax_platforms", "cpu")
+
 # Checkpoint-parity tests need exact fp32 convolutions; the platform default
 # is reduced-precision (bf16-class) accumulation.
 jax.config.update("jax_default_matmul_precision", "highest")
