@@ -48,10 +48,13 @@ def _activation(name: str):
     return nn.relu
 
 
-def _normalize(x, kind: str):
+def _normalize(x, kind: str, mod: nn.Module | None = None, name: str = "norm"):
     """conv -> norm -> act normalization slot (reference:
     networks/unet.py:66,140,516; default None = Identity,
-    unet.py:350-351)."""
+    unet.py:350-351).
+
+    ``mod``/``name`` are the calling module and a call-site-unique param
+    prefix, needed only by kinds with learnable parameters ('batch')."""
     if kind in (None, "none"):
         return x
     if kind == "instance":
@@ -60,13 +63,26 @@ def _normalize(x, kind: str):
         mean = jnp.mean(x, axis=(-3, -2), keepdims=True)
         var = jnp.var(x, axis=(-3, -2), keepdims=True)
         return (x - mean) * jax.lax.rsqrt(var + 1e-5)
-    raise NotImplementedError(
-        f"normalization '{kind}' (the reference default is Identity; "
-        "'batch' is not reachable from the reference CLI either — "
-        "parse_kwargs leaves it a string and networks/unet.py:349-351 "
-        "then calls it as a module class, which raises TypeError; "
-        "BatchNorm2d is named only in a docstring, networks/unet.py:297)"
-    )
+    if kind == "batch":
+        # The docstring default the reference names (BatchNorm2d,
+        # networks/unet.py:297) — but its own CLI path is unreachable:
+        # parse_kwargs leaves 'batch' a string and unet.py:349-351 calls it
+        # as a module class, raising TypeError.  We implement the corner it
+        # intended: per-channel batch statistics over (N, H, W) with a
+        # learnable affine (torch affine=True, eps=1e-5), using batch stats
+        # in both train and eval (track_running_stats=False semantics —
+        # there is no reference behavior to match for running averages, and
+        # stat-carrying state would thread a second variable collection
+        # through every checkpoint/optimizer surface for an ablation no
+        # released checkpoint uses).
+        c = x.shape[-1]
+        scale = mod.param(f"{name}_bn_scale", nn.initializers.ones, (c,))
+        offset = mod.param(f"{name}_bn_offset", nn.initializers.zeros, (c,))
+        axes = tuple(range(x.ndim - 1))
+        mean = jnp.mean(x, axis=axes, keepdims=True)
+        var = jnp.var(x, axis=axes, keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + 1e-5) * scale + offset
+    raise NotImplementedError(f"normalization '{kind}'")
 
 
 class NConvBlock(nn.Module):
@@ -87,7 +103,7 @@ class NConvBlock(nn.Module):
                 self.features, (3, 3), padding=1, use_bias=self.use_bias,
                 dtype=self.dtype, name=f"conv{j}",
             )(x)
-            x = _normalize(x, self.normalization)
+            x = _normalize(x, self.normalization, self, f"conv{j}")
             x = act(x)
         return x
 
@@ -178,7 +194,7 @@ class ConvUNet(nn.Module):
             feats = self._enc_features(lvl)
             d = self._upsample(d, i)
             d = nn.Conv(feats, (3, 3), padding=1, use_bias=self.use_bias, dtype=self.dtype, name=f"dec_up{i}")(d)
-            d = _normalize(d, self.normalization)
+            d = _normalize(d, self.normalization, self, f"dec_up{i}")
             d = act(d)
             skip = skips[lvl]
             d = zero_pad_to(d, skip.shape[-3], skip.shape[-2])
@@ -192,7 +208,7 @@ class ConvUNet(nn.Module):
         # recurrent feature state.
         for i in range(self.post_depth - 1):
             d = nn.Conv(self.filters, (3, 3), padding=1, use_bias=self.use_bias, dtype=self.dtype, name=f"post{i}")(d)
-            d = _normalize(d, self.normalization)
+            d = _normalize(d, self.normalization, self, f"post{i}")
             d = act(d)
         new_feat = d if self.feature_rec else None
         d = Conv1x1(

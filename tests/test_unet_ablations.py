@@ -87,3 +87,60 @@ def test_instance_norm_matches_torch():
     )
     got = np.asarray(_normalize(jnp.asarray(x), "instance"))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_batch_norm_matches_torch_and_trains():
+    """normalization=batch: per-channel (N,H,W) batch stats + learnable
+    affine (the BatchNorm2d corner the reference names in its docstring,
+    networks/unet.py:297, but whose CLI path raises TypeError; we use batch
+    stats in train and eval, track_running_stats=False semantics)."""
+    torch = pytest.importorskip("torch")
+
+    net = build_network(
+        "convunet-mode=fixedfeatures-normalization=batch-filters=8-depth=2", 6, 3, False
+    )
+    params = init_network(net, jax.random.PRNGKey(0), (2, 16, 16, 6))
+    leaves = {"/".join(str(k) for k in p): v
+              for p, v in jax.tree_util.tree_leaves_with_path(params)}
+    assert any("bn_scale" in k for k in leaves), sorted(leaves)[:5]
+
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((2, 16, 16, 6)),
+                    jnp.float32)
+    y, _ = net.apply({"params": params}, x, None)
+    assert y.shape == (2, 16, 16, 3)
+    assert np.isfinite(np.asarray(y)).all()
+
+    # gradient flows through the affine params (the ablation is trainable)
+    def loss(p):
+        out, _ = net.apply({"params": p}, x, None)
+        return jnp.mean(out**2)
+
+    g = jax.grad(loss)(params)
+    gmax = max(
+        float(jnp.max(jnp.abs(v)))
+        for p, v in jax.tree_util.tree_leaves_with_path(g)
+        if "bn_scale" in "/".join(str(k) for k in p)
+    )
+    assert gmax > 0
+
+    # numerics match torch BatchNorm2d (training mode, affine identity)
+    import flax.linen as fnn
+
+    from rvdd_tpu.models.unet import _normalize
+
+    class _Host(fnn.Module):
+        @fnn.compact
+        def __call__(self, x):
+            return _normalize(x, "batch", self, "t")
+
+    xb = np.random.default_rng(3).standard_normal((4, 5, 6, 3)).astype(np.float32)
+    host = _Host()
+    p = host.init(jax.random.PRNGKey(0), jnp.asarray(xb))
+    got = np.asarray(host.apply(p, jnp.asarray(xb)))
+    bn = torch.nn.BatchNorm2d(3)
+    bn.train()
+    want = (
+        bn(torch.from_numpy(np.transpose(xb, (0, 3, 1, 2))))
+        .detach().numpy().transpose(0, 2, 3, 1)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)

@@ -116,9 +116,20 @@ def main():
                     choices=["fast", "mixed", "accurate", "wsplit", "wf32"])
     ap.add_argument("--interpret", action="store_true",
                     help="run Pallas kernels in interpret mode (CPU)")
+    ap.add_argument("--emulate_bf16", action="store_true",
+                    help="with --interpret: model the real MXU's DEFAULT-"
+                    "precision bf16 operand rounding in the conv-chain "
+                    "kernel's dots (the interpreter otherwise computes fp32 "
+                    "dots exactly, understating the fast preset's error; "
+                    "ConvNeXt kernel dots are not emulated — its measured "
+                    "bf16 cost is -0.002 dB)")
     args = ap.parse_args()
     if args.interpret:
         force_interpret()
+    if args.emulate_bf16:
+        import rvdd_tpu.ops.pallas.conv_pallas as cp
+
+        cp._EMULATE_BF16_DOT = True
 
     os.makedirs(args.workdir, exist_ok=True)
     cache = {}
