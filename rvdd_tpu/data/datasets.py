@@ -188,24 +188,48 @@ class TrainWindowDataset:
             return
 
         q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        cancelled = threading.Event()
+
+        def put(item) -> bool:
+            # A plain q.put would block forever if the consumer abandons the
+            # generator mid-epoch (bounded queue, nobody draining); the
+            # orphaned thread then keeps assembling batches concurrently with
+            # whatever runs next.  Poll the cancel flag instead.
+            while not cancelled.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for s in starts:
-                    q.put(("ok", make(s)))
+                    if cancelled.is_set() or not put(("ok", make(s))):
+                        return
             except Exception as e:  # surface worker errors in the consumer
-                q.put(("err", e))
-            q.put(("done", None))
+                put(("err", e))
+            put(("done", None))
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            kind, payload = q.get()
-            if kind == "done":
-                break
-            if kind == "err":
-                raise payload
-            yield payload
+        try:
+            while True:
+                kind, payload = q.get()
+                if kind == "done":
+                    break
+                if kind == "err":
+                    raise payload
+                yield payload
+        finally:
+            cancelled.set()
+            while True:  # unblock a producer stuck between put attempts
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=5.0)
 
 
 class InferenceDataset:

@@ -90,6 +90,27 @@ class TestDatasets:
         batch = next(iter(ds.batches(2)))
         assert batch["n"].shape == (2, 3, 16, 16, 4)
 
+    def test_batches_abandoned_early_stops_producer(self, tiny_root):
+        """Dropping the batches() iterator mid-epoch must terminate the
+        prefetch thread (a plain bounded-queue put would leave it blocked
+        forever, assembling batches concurrently with whatever runs next)."""
+        import threading
+
+        ds = TrainWindowDataset(
+            tiny_root, "gt_linear_RGB", "noisy",
+            patch_width=16, patch_stride=4, patch_depth=3,
+            model_patch_depth=2, frames2load=5, no_warp=True, seed=0,
+        )
+        before = threading.active_count()
+        it = ds.batches(1, prefetch=1)
+        next(it)
+        it.close()  # triggers the generator's finally-cleanup
+        deadline = 50  # 5s of 0.1s polls
+        while threading.active_count() > before and deadline:
+            threading.Event().wait(0.1)
+            deadline -= 1
+        assert threading.active_count() <= before
+
     def test_train_dataset_reshuffles(self, tiny_root):
         ds = TrainWindowDataset(
             tiny_root, "gt_linear_RGB", "noisy",
