@@ -39,6 +39,32 @@ def main():
                     help="fused-path numerics preset (FUSED_PRECISIONS)")
     args = ap.parse_args()
 
+    # Fail fast if the TPU relay is unreachable: the axon backend init
+    # otherwise blocks FOREVER on the first array op (no timeout inside
+    # PJRT), which reads as a hung benchmark rather than a down device.
+    # Probe in a subprocess so the block is boundable.
+    import subprocess
+    import sys
+
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
+            capture_output=True, text=True, timeout=150,
+        )
+        ok = "ok" in probe.stdout
+    except subprocess.TimeoutExpired:
+        ok = False
+    if not ok:
+        print(
+            json.dumps({
+                "metric": "1080p_fps_per_chip_convunet_feat", "value": 0.0,
+                "unit": "frames/sec", "vs_baseline": 0.0,
+                "error": "TPU backend unreachable (axon init probe failed "
+                         "within 150s); no measurement taken",
+            })
+        )
+        raise SystemExit(1)
+
     import jax
     import jax.numpy as jnp
 
