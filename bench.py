@@ -34,9 +34,11 @@ def main():
     ap.add_argument("--exact", action="store_true", help="fp32-exact convs")
     ap.add_argument("--trace_dir", default=None,
                     help="capture a 5-step jax.profiler device trace here")
-    ap.add_argument("--precision", default="fast",
-                    choices=["fast", "mixed", "accurate", "wsplit", "wf32"],
-                    help="fused-path numerics preset (FUSED_PRECISIONS)")
+    ap.add_argument("--precision", default="auto",
+                    choices=["auto", "fast", "mixed", "accurate", "wsplit", "wf32"],
+                    help="fused-path numerics preset (FUSED_PRECISIONS); "
+                    "auto = fastest preset within the 0.05 dB parity budget "
+                    "for the variant")
     args = ap.parse_args()
 
     # Fail fast if the TPU relay is unreachable: the axon backend init
@@ -89,12 +91,17 @@ def main():
         "convunet+feat": "convunet-mode=fixedfeatures+feat",
         "convnext+feat+future": "newunet-mode=feat",
     }[args.model]
+    from rvdd_tpu.models.fast_unet import resolve_fused_precision
+
+    precision = resolve_fused_precision(
+        args.precision, arch=arch, feature_rec=feat, future=fd > 0
+    )
     cfg = EngineConfig(
         model_patch_depth=2, patch_depth=2 + fd, future_patch_depth=fd,
         feature_rec=feat, warp_impl="xla" if args.exact else "pallas",
         state_dtype="float32" if args.exact else "bfloat16",
         net_impl="xla" if args.exact else "fused",
-        fused_precision=args.precision,
+        fused_precision=precision,
     )
     net_dtype = None if args.exact else jnp.bfloat16
     kw = {}

@@ -107,7 +107,7 @@ class Options:
     net_impl: str = "xla"
     #: fused-path numerics: 'fast' (bf16) | 'mixed' (fp32 storage, bf16
     #: MXU) | 'accurate' (fp32 storage, 3-pass MXU ~ fp32)
-    fused_precision: str = "fast"
+    fused_precision: str = "auto"  # auto -> parity-safe preset per variant
     #: fused-path recurrence-carry storage; bf16 carry rounding feeds back
     #: through the recurrence and accumulates over a clip (drift)
     state_dtype: str = "float32"
@@ -153,7 +153,17 @@ class Options:
             warp_impl=self.resolve_warp_impl(),
             net_impl=self.net_impl,
             state_dtype=self.state_dtype,
-            fused_precision=self.fused_precision,
+            fused_precision=self.resolve_fused_precision(),
+        )
+
+    def resolve_fused_precision(self) -> str:
+        from rvdd_tpu.models.fast_unet import resolve_fused_precision
+
+        return resolve_fused_precision(
+            self.fused_precision,
+            arch=self.netDenoiser,
+            feature_rec=self.feature_rec,
+            future=self.future_patch_depth > 0,
         )
 
     def resolve_warp_impl(self) -> str:

@@ -258,7 +258,13 @@ def _chain(ch, x, aux, h, w, interpret, aux_channels=None, upsample=False,
         tile_h=tile_h,
         out_dtype=prec["band_dtype"],
         band_dtype=prec["band_dtype"],
-        mxu_precision=prec["mxu_precision"],
+        # the ConvNeXt kernel has no manual bf16_3x path (the conv-chain
+        # kernel's 'high'); ride Mosaic's HIGHEST instead — this kernel
+        # measures -0.002 dB under 'fast', so no preset needs 'high' here
+        mxu_precision=(
+            "highest" if prec["mxu_precision"] == "high"
+            else prec["mxu_precision"]
+        ),
         gelu_exact=prec["gelu_exact"],
         interpret=interpret,
     )

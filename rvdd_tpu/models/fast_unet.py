@@ -49,7 +49,13 @@ FUSED_PRECISIONS = {
         band_dtype=jnp.bfloat16, mxu_precision="default", gelu_exact=False,
         weight_dtype={"dec2": (None, None, None, "split", "split")},
     ),
-    "mixed": dict(band_dtype=jnp.float32, mxu_precision="default", gelu_exact=True),
+    # fp32 band/weight storage contracted with 3-pass bf16_3x dots
+    # (Precision.HIGH): ~fp32 operand fidelity at 3 MXU passes vs
+    # HIGHEST's 6.  (fp32 storage with DEFAULT dots would be pointless on
+    # real hardware: the MXU re-rounds operands to bf16 at the dot, so
+    # the store-side rounding it avoids is re-applied.)  This is the
+    # parity preset for the convunet+feat-future exception (PARITY.md).
+    "mixed": dict(band_dtype=jnp.float32, mxu_precision="high", gelu_exact=True),
     "accurate": dict(band_dtype=jnp.float32, mxu_precision="highest", gelu_exact=True),
     # every layer split (max weight fidelity at bf16 bandwidth, ~2x MXU)
     "wsplit": dict(band_dtype=jnp.bfloat16, mxu_precision="default",
@@ -59,6 +65,21 @@ FUSED_PRECISIONS = {
     "wf32": dict(band_dtype=jnp.bfloat16, mxu_precision="highest",
                  gelu_exact=False, weight_dtype=jnp.float32),
 }
+
+
+def resolve_fused_precision(
+    name: str, *, arch: str, feature_rec: bool, future: bool
+) -> str:
+    """Resolve the 'auto' fused-precision preset: the fastest preset
+    measured within the 0.05 dB parity budget for the variant (PARITY.md
+    fused table).  Every fused variant takes 'fast' except the
+    convunet+feat-future net, which amplifies bf16 stage rounding ~10x
+    (measured -0.30 dB under 'fast') and gets the 3-pass 'mixed' preset."""
+    if name != "auto":
+        return name
+    if arch.startswith("convunet") and feature_rec and future:
+        return "mixed"
+    return "fast"
 
 
 def supports_fast_path(net: ConvUNet, h: int, w: int) -> bool:

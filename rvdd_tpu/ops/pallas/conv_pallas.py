@@ -85,6 +85,7 @@ def _chain_kernel(
     band_dtype,
     weight_split,
     precision,
+    three_pass: bool = False,
 ):
     nl = len(layer_specs)
     n_in = 2 if aux_c else 1
@@ -303,6 +304,21 @@ def _chain_kernel(
             )
 
         def dot(wm, pat, *, _split=weight_split[l]):
+            if _split and three_pass:
+                # manual bf16_3x (Precision.HIGH semantics without relying
+                # on Mosaic supporting HIGH in-kernel): weights arrive as a
+                # packed bf16 hi+lo pair, the fp32 pattern is split here,
+                # and the lo*lo term (~2^-16 relative) is dropped — three
+                # DEFAULT-precision MXU passes recover ~fp32 fidelity
+                half = wm.shape[0] // 2
+                pf = pat.astype(jnp.float32)
+                p_hi = pf.astype(jnp.bfloat16)
+                p_lo = (pf - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                return (
+                    dot1(wm[:half], p_hi)
+                    + dot1(wm[:half], p_lo)
+                    + dot1(wm[half:], p_hi)
+                )
             if _split:
                 # w = w_hi + w_lo (bf16 pair, stacked on the cout axis):
                 # two 1-pass dots recover ~16 mantissa bits of the weights
@@ -460,7 +476,9 @@ def fused_conv_chain(
     #                     bilinearly upsamples it into the layer-0 band
     band_dtype=jnp.bfloat16,  # inter-layer activation storage precision
     mxu_precision: str = "default",  # MXU passes: 'default' (1-pass bf16)
-    #                     or 'high' (3-pass, ~fp32 for fp32 bands)
+    #                     or 'high' (manual bf16_3x: weights packed as bf16
+    #                     hi+lo pairs, pattern split at dot time, 3 DEFAULT
+    #                     passes — ~fp32 fidelity without Mosaic HIGH)
     weight_dtype=None,  # None -> band_dtype; 'split' -> bf16 hi+lo pair
     #                     (two 1-pass dots, rounding-free weights); or a dtype
     interpret: bool = False,
@@ -546,6 +564,13 @@ def fused_conv_chain(
 
     # weight_dtype: None/dtype applies to every layer; 'split' every layer;
     # a tuple gives per-layer values (selective split)
+    three_pass = mxu_precision == "high"
+    if three_pass:
+        # manual bf16_3x: every layer's weights become a packed bf16 hi+lo
+        # pair and the kernel splits the (fp32) pattern operand at dot time
+        # — three DEFAULT-precision passes, no reliance on Mosaic lowering
+        # lax.Precision.HIGH inside the kernel
+        weight_dtype = "split"
     wd_l = (
         tuple(weight_dtype)
         if isinstance(weight_dtype, tuple)
@@ -571,7 +596,8 @@ def fused_conv_chain(
         out_dtype=out_dtype,
         band_dtype=band_dtype,
         weight_split=tuple(wd == "split" for wd in wd_l),
-        precision=PRECISIONS[mxu_precision],
+        precision=PRECISIONS["default" if three_pass else mxu_precision],
+        three_pass=three_pass,
     )
 
     x = x.astype(band_dtype)

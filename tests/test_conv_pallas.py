@@ -115,6 +115,44 @@ def test_single_tile_grid():
     run_case(8, 40, (8, 8), ("relu",), (3,), tile_h=8)
 
 
+def test_three_pass_high_precision():
+    """mxu_precision='high' = manual bf16_3x (bf16 hi+lo weight pairs, the
+    fp32 pattern split at dot time, three DEFAULT-precision passes): with
+    fp32 bands the chain must track the fp32 XLA reference to ~1e-3 abs —
+    two orders tighter than the plain bf16 path's 0.15 envelope."""
+    h, w = 16, 64
+    chans, acts, ks = (8, 16, 8), ("relu", "none"), (3, 3)
+    rng = np.random.default_rng(7)
+    wl = lane_width(w)
+    x = jnp.asarray(rng.standard_normal((1, h, w, chans[0])).astype(np.float32))
+    ws, bs, packed = [], [], []
+    cin = chans[0]
+    for l in range(len(chans) - 1):
+        wt = jnp.asarray(
+            (rng.standard_normal((ks[l], ks[l], cin, chans[l + 1])) * 0.2)
+            .astype(np.float32)
+        )
+        bt = jnp.asarray((rng.standard_normal(chans[l + 1]) * 0.1).astype(np.float32))
+        ws.append(wt)
+        bs.append(bt)
+        packed.append(pack_weight(wt))
+        cin = chans[l + 1]
+    hcur = x
+    for l in range(len(ws)):
+        hcur = ref_conv(hcur, ws[l], bs[l], acts[l], ks[l])
+    want = np.asarray(hcur)
+
+    (got,) = fused_conv_chain(
+        to_planar(x, wl),  # fp32 in, fp32 bands
+        tuple(packed), tuple(bs), tuple(acts), tuple(ks),
+        h_img=h, w_img=w, tile_h=8,
+        band_dtype=jnp.float32, mxu_precision="high",
+        out_dtype=jnp.float32, interpret=True,
+    )
+    got = np.asarray(from_planar(got, h, w))
+    np.testing.assert_allclose(got, want, atol=1.5e-3, rtol=1e-3)
+
+
 @pytest.mark.parametrize("h,w", [(16, 64), (24, 100)])
 def test_upsample_input(h, w):
     """upsample_input mode == XLA planar upsample -> chain."""

@@ -61,6 +61,36 @@ def test_distributed_flag_calls_jax_distributed_initialize(monkeypatch, tmp_path
     assert called.get("yes")
 
 
+def test_fused_precision_auto_resolution():
+    """'auto' = the fastest preset measured within the 0.05 dB parity
+    budget per variant (PARITY.md fused table): 'mixed' only for the
+    convunet+feat-future exception, 'fast' everywhere else; explicit
+    names pass through untouched."""
+    from rvdd_tpu.models.fast_unet import resolve_fused_precision
+
+    r = resolve_fused_precision
+    assert r("auto", arch="convunet-mode=fixedfeatures+feat",
+             feature_rec=True, future=True) == "mixed"
+    assert r("auto", arch="convunet-mode=fixedfeatures+feat",
+             feature_rec=True, future=False) == "fast"
+    assert r("auto", arch="convunet-mode=fixedfeatures",
+             feature_rec=False, future=False) == "fast"
+    assert r("auto", arch="newunet-mode=feat",
+             feature_rec=True, future=True) == "fast"
+    assert r("accurate", arch="convunet-mode=fixedfeatures+feat",
+             feature_rec=True, future=True) == "accurate"
+
+    # the Options surface resolves before EngineConfig construction
+    from rvdd_tpu.config import Options
+
+    opt = Options(
+        netDenoiser="convunet-mode=fixedfeatures+feat", feature_rec=True,
+        future_patch_depth=1, patch_depth=3,
+    )
+    opt.isTrain = False
+    assert opt.finalize().engine_config().fused_precision == "mixed"
+
+
 def test_fused_precision_presets_complete():
     from rvdd_tpu.models.fast_unet import FUSED_PRECISIONS
 
@@ -77,8 +107,13 @@ def test_fused_precision_presets_complete():
         "dec2": (None, None, None, "split", "split")
     }
     assert FUSED_PRECISIONS["accurate"]["band_dtype"] == jnp.float32
-    # Mosaic supports only DEFAULT/HIGHEST in-kernel dot precisions
+    # Mosaic lowers only DEFAULT/HIGHEST dot precisions in-kernel;
+    # 'highest' rides that, 'high' is the conv-chain kernel's own manual
+    # bf16_3x decomposition (three DEFAULT passes)
     assert FUSED_PRECISIONS["accurate"]["mxu_precision"] == "highest"
+    # the feat-future parity preset: fp32 storage, 3-pass dots
+    assert FUSED_PRECISIONS["mixed"]["band_dtype"] == jnp.float32
+    assert FUSED_PRECISIONS["mixed"]["mxu_precision"] == "high"
 
 
 def test_erf_poly_matches_scipy():

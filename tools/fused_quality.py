@@ -113,7 +113,8 @@ def main():
     ap.add_argument("--cache", default="/tmp/fused_quality/exact_cache.json")
     ap.add_argument("--out", default="/tmp/fused_quality/results.json")
     ap.add_argument("--fused_precision", default="fast",
-                    choices=["fast", "mixed", "accurate", "wsplit", "wf32"])
+                    choices=["auto", "fast", "mixed", "accurate", "wsplit",
+                             "wf32"])
     ap.add_argument("--interpret", action="store_true",
                     help="run Pallas kernels in interpret mode (CPU)")
     ap.add_argument("--emulate_bf16", action="store_true",
