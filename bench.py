@@ -19,7 +19,8 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="convunet+feat",
-                    choices=["convunet", "convunet+feat", "convnext+feat+future"])
+                    choices=["convunet", "convunet+feat", "convunet+feat+future",
+                             "convnext+feat+future"])
     ap.add_argument("--frames", type=int, default=30)
     ap.add_argument("--streams", type=int, default=1,
                     help="batched independent video streams (throughput mode)")
@@ -89,6 +90,7 @@ def main():
     arch = {
         "convunet": "convunet-mode=fixedfeatures",
         "convunet+feat": "convunet-mode=fixedfeatures+feat",
+        "convunet+feat+future": "convunet-mode=fixedfeatures+feat",
         "convnext+feat+future": "newunet-mode=feat",
     }[args.model]
     from rvdd_tpu.models.fast_unet import resolve_fused_precision

@@ -14,6 +14,8 @@ run() {
 
 run                                   # headline convunet+feat, fused fast
 run --precision accurate              # fp32-parity fused path
+run --model convunet+feat+future      # auto -> mixed (3-pass parity preset)
+run --model convunet+feat+future --precision fast
 run --scan                            # whole-clip lax.scan
 run --streams 2
 run --streams 4
