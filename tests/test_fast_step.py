@@ -71,6 +71,43 @@ def test_fast_step_matches_generic(feat_rec, fd):
     assert err2 < 0.3, f"step-2 normalized max err {err2}"
 
 
+def test_fast_step_batched_streams_match_singles():
+    """The --streams path: a batched fused step (B=2, per-sample Python
+    loop in _fast_planar_step) must produce exactly what two independent
+    B=1 steps produce, state carry included."""
+    h = w = 32
+    net = build_network("convunet-mode=fixedfeatures+feat", 6, 3, True)
+    params = init_network(net, jax.random.PRNGKey(0), (1, h, w, 6))
+    rng = np.random.default_rng(5)
+    frames = jnp.asarray(rng.uniform(-1, 1, (2, 2, h, w, 3)).astype(np.float32))
+    yy, xx = np.mgrid[0:h, 0:w]
+    fl = np.stack(
+        [np.stack([1.5 + np.sin(xx / 17), -0.6 + 0.4 * np.cos(yy / 11)], -1),
+         np.stack([-2.1 + 0.3 * np.cos(xx / 13), 0.9 + np.sin(yy / 7)], -1)]
+    )
+    flows = jnp.asarray(fl[:, None].astype(np.float32))  # [2, 1, h, w, 2]
+
+    cfg = EngineConfig(
+        model_patch_depth=2, patch_depth=2, feature_rec=True,
+        net_impl="fused", state_dtype="bfloat16",
+    )
+    nil = net.nil_features(2, h, w)
+    den_b, state_b = inference_step(cfg, net, params, None, frames, flows, nil)
+    den2_b, _ = inference_step(cfg, net, params, state_b, frames, flows, nil)
+
+    nil1 = net.nil_features(1, h, w)
+    for bi in range(2):
+        den_s, state_s = inference_step(
+            cfg, net, params, None, frames[bi : bi + 1], flows[bi : bi + 1], nil1
+        )
+        np.testing.assert_array_equal(np.asarray(den_b[bi]), np.asarray(den_s[0]))
+        den2_s, _ = inference_step(
+            cfg, net, params, state_s, frames[bi : bi + 1], flows[bi : bi + 1],
+            nil1,
+        )
+        np.testing.assert_array_equal(np.asarray(den2_b[bi]), np.asarray(den2_s[0]))
+
+
 @pytest.mark.parametrize("feat_rec,fd", [(True, 1)])
 def test_fast_step_convnext_matches_generic(feat_rec, fd):
     """Flagship ConvNeXt+feat+future fused engine step (combine-state dec2
