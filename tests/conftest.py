@@ -43,6 +43,24 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(pytest.mark.fast)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Release dead compiled executables between test modules.
+
+    A full-suite run compiles hundreds of XLA:CPU programs; with them all
+    pinned by jit caches, the final giant interpret-mode compile
+    (test_fused_minigolden's ConvNeXt flagship) segfaults inside
+    backend_compile_and_load — deterministically at the same test, only
+    when enough modules ran first (bisect: any 3-file subset passes, the
+    8-file set crashes).  Dropping caches at module boundaries keeps the
+    JIT code space bounded; cross-module recompiles are rare since
+    modules rarely share jitted functions."""
+    import jax
+
+    jax.clear_caches()
+    yield
+
+
 @pytest.fixture(scope="session")
 def golden():
     """Load a golden fixture .npz by name, or skip if not generated."""
