@@ -71,6 +71,45 @@ def test_fast_step_matches_generic(feat_rec, fd):
     assert err2 < 0.3, f"step-2 normalized max err {err2}"
 
 
+def test_fast_step_mixed_preset_near_exact():
+    """The full fused step under 'mixed' (fp32 bands, manual 3-pass dots,
+    fp32 warp/state) must track the exact XLA step to ~1e-3 normalized —
+    two orders tighter than 'fast''s 0.2 envelope.  This is the engine-level
+    guard for the feat-future parity preset (net-level: minigolden)."""
+    h = w = 32
+    fd = 1
+    in_nc = (2 + fd) * 3
+    net = build_network("convunet-mode=fixedfeatures+feat", in_nc, 3, True)
+    params = init_network(net, jax.random.PRNGKey(0), (1, h, w, in_nc))
+    rng = np.random.default_rng(11)
+    frames = jnp.asarray(rng.uniform(-1, 1, (1, 2 + fd, h, w, 3)).astype(np.float32))
+    yy, xx = np.mgrid[0:h, 0:w]
+    fl = np.stack([1.2 + np.sin(xx / 15), -0.7 + 0.5 * np.cos(yy / 8)], -1)
+    flows = jnp.asarray(
+        np.broadcast_to(fl, (1, 1 + fd, h, w, 2)).astype(np.float32).copy()
+    )
+    cfg_ref = EngineConfig(
+        model_patch_depth=2, patch_depth=2 + fd, future_patch_depth=fd,
+        feature_rec=True,
+    )
+    nil = net.nil_features(1, h, w)
+    want, wstate = inference_step(cfg_ref, net, params, None, frames, flows, nil)
+
+    cfg_mixed = EngineConfig(
+        model_patch_depth=2, patch_depth=2 + fd, future_patch_depth=fd,
+        feature_rec=True, net_impl="fused", fused_precision="mixed",
+    )
+    got, mstate = inference_step(cfg_mixed, net, params, None, frames, flows, nil)
+    scale = float(jnp.std(want)) + 1e-6
+    err = float(jnp.max(jnp.abs(got - want))) / scale
+    assert err < 2e-3, f"mixed-preset normalized max err {err}"
+
+    want2, _ = inference_step(cfg_ref, net, params, wstate, frames, flows, nil)
+    got2, _ = inference_step(cfg_mixed, net, params, mstate, frames, flows, nil)
+    err2 = float(jnp.max(jnp.abs(got2 - want2))) / (float(jnp.std(want2)) + 1e-6)
+    assert err2 < 3e-3, f"mixed-preset step-2 normalized max err {err2}"
+
+
 def test_fast_step_batched_streams_match_singles():
     """The --streams path: a batched fused step (B=2, per-sample Python
     loop in _fast_planar_step) must produce exactly what two independent
