@@ -93,6 +93,16 @@ def lr_for_epoch(epoch: int, lr: float, policy: str, niter: int, niter_decay: in
         import math
 
         factor = 0.5 * (1 + math.cos(math.pi * min(e, niter) / niter))
+    elif policy == "plateau":
+        # The reference constructs ReduceLROnPlateau(mode='min', factor=0.2,
+        # threshold=0.01, patience=5) (networks/__init__.py:39-46) but steps
+        # EVERY scheduler as scheduler.step(epoch) (base_model.py:128-133) —
+        # the epoch number is the "metric".  It increases monotonically, so
+        # it never improves on epoch 1's value and the schedule is exactly
+        # deterministic: bad-epoch count hits patience+1 at the step after
+        # epoch 7, then every 6 epochs -> LR x0.2 at the end of epochs
+        # 7, 13, 19, ... (pinned against torch in tests/test_round2.py).
+        factor = 0.2 ** max(0, (e - 1) // 6)
     else:
         raise NotImplementedError(f"lr_policy {policy}")
     return lr * factor

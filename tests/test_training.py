@@ -77,3 +77,22 @@ def test_lr_schedule_matches_reference_shape():
     assert all(abs(v - 1.0) < 1e-9 for v in lrs[:70])
     assert lrs[70] < 1.0
     np.testing.assert_allclose(lrs[99], 1.0 / 31.0, rtol=1e-6)
+
+
+def test_plateau_schedule_matches_reference_quirk():
+    """The reference steps ReduceLROnPlateau with the EPOCH NUMBER as the
+    metric (base_model.py:128-133), making it a deterministic x0.2-every-6
+    decay.  Pin ours against torch driven exactly that way."""
+    torch = pytest.importorskip("torch")
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=1.0)
+    sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode="min", factor=0.2, threshold=0.01, patience=5
+    )
+    want = []
+    for epoch in range(1, 31):
+        want.append(opt.param_groups[0]["lr"])  # LR in effect during epoch
+        sched.step(epoch)  # reference passes the epoch as the metric
+    got = [lr_for_epoch(e, 1.0, "plateau", 70, 30) for e in range(1, 31)]
+    np.testing.assert_allclose(got, want, rtol=1e-9)
