@@ -101,7 +101,11 @@ def lr_for_epoch(epoch: int, lr: float, policy: str, niter: int, niter_decay: in
         # it never improves on epoch 1's value and the schedule is exactly
         # deterministic: bad-epoch count hits patience+1 at the step after
         # epoch 7, then every 6 epochs -> LR x0.2 at the end of epochs
-        # 7, 13, 19, ... (pinned against torch in tests/test_round2.py).
+        # 7, 13, 19, ... (pinned against torch in tests/test_training.py).
+        # NOTE: the train CLI does NOT route plateau through here — the loop
+        # implements the policy's INTENDED semantics, driven by the actual
+        # validation loss (loop.py plateau_factor state); this branch
+        # reproduces the reference's literal schedule for parity tooling.
         factor = 0.2 ** max(0, (e - 1) // 6)
     else:
         raise NotImplementedError(f"lr_policy {policy}")
