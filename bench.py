@@ -60,7 +60,8 @@ def main():
     if not ok:
         print(
             json.dumps({
-                "metric": "1080p_fps_per_chip_convunet_feat", "value": 0.0,
+                "metric": f"1080p_fps_per_chip_{args.model.replace('+', '_')}",
+                "value": 0.0,
                 "unit": "frames/sec", "vs_baseline": 0.0,
                 "error": "TPU backend unreachable (axon init probe failed "
                          "within 150s); no measurement taken",
@@ -101,7 +102,10 @@ def main():
     cfg = EngineConfig(
         model_patch_depth=2, patch_depth=2 + fd, future_patch_depth=fd,
         feature_rec=feat, warp_impl="xla" if args.exact else "pallas",
-        state_dtype="float32" if args.exact else "bfloat16",
+        # fp32 recurrence carry is the production default (Options.state_dtype
+        # and the PARITY/BENCH quality rows are measured with it); the bench
+        # must run the same numerics it pairs fps with
+        state_dtype="float32",
         net_impl="xla" if args.exact else "fused",
         fused_precision=precision,
     )
@@ -178,7 +182,7 @@ def main():
                 {
                     "metric": f"1080p_fps_per_chip_{args.model.replace('+', '_')}_scan"
                     + ("" if args.streams == 1 else f"_x{args.streams}streams")
-                    + ("" if args.precision == "fast" else f"_{args.precision}"),
+                    + ("" if precision == "fast" else f"_{precision}"),
                     "value": round(fps, 2),
                     "unit": "frames/sec",
                     "vs_baseline": round(fps / 30.0, 3),
@@ -216,7 +220,8 @@ def main():
                 "metric": f"1080p_fps_per_chip_{args.model.replace('+', '_')}"
                 + ("" if args.streams == 1 else f"_x{args.streams}streams")
                 + ("_online_flow" if args.with_flow else "")
-                + ("" if args.precision == "fast" else f"_{args.precision}"),
+                + ("_exact" if args.exact else
+                   "" if precision == "fast" else f"_{precision}"),
                 "value": round(fps, 2),
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / 30.0, 3),

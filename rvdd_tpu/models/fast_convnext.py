@@ -355,6 +355,8 @@ def convnext_fast_forward(
     b, h, w, _ = x.shape
     wl = -(-(w + 1) // 512) * 512
     bd = FUSED_PRECISIONS[precision]["band_dtype"]
+    if isinstance(bd, dict):  # per-chain override: inputs use the default
+        bd = jnp.bfloat16
     outs, feats = [], []
     for bi in range(b):
         xp = to_planar(x[bi], wl, c_pad=packed["in_pad"] - x.shape[-1], dtype=bd)

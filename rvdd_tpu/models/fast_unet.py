@@ -518,6 +518,8 @@ def fast_forward_planar(
 
 def _fast_forward_one(net, packed, x, feat, h, w, wl, interpret, precision="fast"):
     bd = FUSED_PRECISIONS[precision]["band_dtype"]
+    if isinstance(bd, dict):  # per-chain override: inputs use the default
+        bd = jnp.bfloat16
     xp = to_planar(x, wl, c_pad=packed["in_pad"] - x.shape[-1], dtype=bd)
     auxp = to_planar(feat, wl, dtype=bd) if net.feature_rec else None
     out, new_feat = fast_forward_planar(

@@ -296,8 +296,15 @@ def warp_planar_pallas(
     # largest 128-multiple divisor of wl that is <= tile_c (min() alone
     # fails for lane counts like 640 that are 128- but not tile_c-multiples)
     tc = next(
-        t for t in range(min(tile_c, wl) // 128 * 128, 0, -128) if wl % t == 0
+        (t for t in range(min(tile_c, wl) // 128 * 128, 0, -128) if wl % t == 0),
+        None,
     )
+    if tc is None:
+        raise ValueError(
+            f"warp_planar_pallas: lane width {wl} has no 128-multiple divisor"
+            " <= tile_c (planar lane counts must be 128-multiples;"
+            " see conv_pallas.lane_width)"
+        )
     n_tiles = h_img // th
     l0 = 64
     wlp = wl + 128

@@ -61,8 +61,11 @@ class EngineConfig:
     #: forward for supported ConvUNet configs, TPU inference fast path)
     net_impl: str = "xla"
     #: fused-path numerics preset (models/fast_unet.py:FUSED_PRECISIONS):
-    #: 'fast' (bf16 storage, 1-pass MXU), 'mixed' (fp32 storage, 1-pass),
-    #: 'accurate' (fp32 storage, 3-pass MXU ~ fp32)
+    #: 'fast' (bf16 storage, 1-pass MXU dots), 'mixed' (fp32 storage,
+    #: manual 3-pass bf16_3x dots — the feat-future parity preset),
+    #: 'accurate' (fp32 storage, 6-pass HIGHEST dots, exact).  Must be a
+    #: concrete preset name here; 'auto' is resolved by the Options layer
+    #: (config.resolve_fused_precision / fast_unet.resolve_fused_precision).
     fused_precision: str = "fast"
 
     @property

@@ -61,6 +61,24 @@ def _clear_jax_caches_per_module():
     yield
 
 
+@pytest.fixture
+def pallas_interpret(monkeypatch):
+    """Route every pallas_call through the interpreter (CPU evidence path:
+    same kernel semantics incl. bf16 rounding, no TPU needed).  One patch
+    on the shared jax.experimental.pallas module covers every kernel
+    module — they all hold the same `pl` object."""
+    import jax.experimental.pallas as pl_mod
+
+    orig = pl_mod.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pl_mod, "pallas_call", patched)
+    yield
+
+
 @pytest.fixture(scope="session")
 def golden():
     """Load a golden fixture .npz by name, or skip if not generated."""

@@ -14,20 +14,7 @@ pytestmark = pytest.mark.slow
 
 
 @pytest.fixture(autouse=True)
-def _interpret(monkeypatch):
-    import jax.experimental.pallas as pl_mod
-    import rvdd_tpu.ops.pallas.conv_pallas as cp
-    import rvdd_tpu.ops.pallas.convnext_pallas as xp
-    import rvdd_tpu.ops.pallas.warp_rowmajor as wr
-
-    for mod in (cp, xp, wr):
-        orig = pl_mod.pallas_call
-
-        def patched(*a, _orig=orig, **k):
-            k["interpret"] = True
-            return _orig(*a, **k)
-
-        monkeypatch.setattr(mod.pl, "pallas_call", patched)
+def _interpret(pallas_interpret):
     yield
 
 

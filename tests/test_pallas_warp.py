@@ -8,17 +8,7 @@ import jax.numpy as jnp
 
 
 @pytest.fixture(autouse=True)
-def _interpret(monkeypatch):
-    import jax.experimental.pallas as pl_mod
-    import rvdd_tpu.ops.pallas.warp_pallas as wp
-
-    orig = pl_mod.pallas_call
-
-    def patched(*a, **k):
-        k["interpret"] = True
-        return orig(*a, **k)
-
-    monkeypatch.setattr(wp.pl, "pallas_call", patched)
+def _interpret(pallas_interpret):
     yield
 
 

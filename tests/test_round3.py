@@ -176,20 +176,8 @@ def test_fused_conv_chain_fp32_bands_interpret():
 
 
 @pytest.mark.slow
-def test_scan_video_fused_packed_outside_body(monkeypatch):
+def test_scan_video_fused_packed_outside_body(pallas_interpret):
     """fused_pack result must be reusable across steps (ADVICE round 2)."""
-    import jax.experimental.pallas as pl_mod
-    import rvdd_tpu.ops.pallas.conv_pallas as cp
-    import rvdd_tpu.ops.pallas.warp_rowmajor as wr
-
-    for mod in (cp, wr):
-        orig = pl_mod.pallas_call
-
-        def patched(*a, _orig=orig, **k):
-            k["interpret"] = True
-            return _orig(*a, **k)
-
-        monkeypatch.setattr(mod.pl, "pallas_call", patched)
     from rvdd_tpu.models import build_network
     from rvdd_tpu.models.factory import init_network
     from rvdd_tpu.recurrent.engine import fused_pack, inference_step
@@ -209,21 +197,9 @@ def test_scan_video_fused_packed_outside_body(monkeypatch):
     assert np.isfinite(np.asarray(den2)).all()
 
 
-def test_fused_state_dtype_plumbing(monkeypatch):
+def test_fused_state_dtype_plumbing(pallas_interpret):
     """Default config carries the fused recurrence state in fp32 (bf16
     carry rounding accumulates over a clip — drift); bfloat16 opt-in."""
-    import jax.experimental.pallas as pl_mod
-    import rvdd_tpu.ops.pallas.conv_pallas as cp
-    import rvdd_tpu.ops.pallas.warp_rowmajor as wr
-
-    for mod in (cp, wr):
-        orig = pl_mod.pallas_call
-
-        def patched(*a, _orig=orig, **k):
-            k["interpret"] = True
-            return _orig(*a, **k)
-
-        monkeypatch.setattr(mod.pl, "pallas_call", patched)
     from rvdd_tpu.config import Options
     from rvdd_tpu.models import build_network
     from rvdd_tpu.models.factory import init_network

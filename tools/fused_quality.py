@@ -61,20 +61,18 @@ def build_opt(variant: str, iso: int, dataroot: str, workdir: str, net_impl: str
 
 def force_interpret():
     """Route every pallas_call through the interpreter (CPU evidence path:
-    bit-identical kernel semantics incl. bf16 rounding, no TPU needed)."""
+    bit-identical kernel semantics incl. bf16 rounding, no TPU needed).
+    One patch on the shared jax.experimental.pallas module covers every
+    kernel module — they all hold the same `pl` object."""
     import jax.experimental.pallas as pl_mod
-    import rvdd_tpu.ops.pallas.conv_pallas as cp
-    import rvdd_tpu.ops.pallas.convnext_pallas as xp
-    import rvdd_tpu.ops.pallas.warp_rowmajor as wr
 
-    for mod in (cp, xp, wr):
-        orig = pl_mod.pallas_call
+    orig = pl_mod.pallas_call
 
-        def patched(*a, _orig=orig, **k):
-            k["interpret"] = True
-            return _orig(*a, **k)
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
 
-        mod.pl.pallas_call = patched
+    pl_mod.pallas_call = patched
 
 
 def run_one(opt):
