@@ -21,30 +21,7 @@ def _fetch(out):
     return float(jnp.sum(leaves[0].ravel()[:8].astype(jnp.float32)))
 
 
-def timeit(fn, primary, *rest, iters=10):
-    """Time fn via a data-dependent input chain inside ONE jitted loop.
-
-    Dispatching the same jitted call with identical args repeatedly is
-    memoized by the axon relay (the sibling warp tools measured ~0 ms for
-    such loops), so each iteration here perturbs the primary operand by a
-    numerically-negligible function of the previous output (+= s * 1e-8 —
-    data-dependent, so neither memoizable nor hoistable as loop-invariant).
-    The perturbation pass itself costs one elementwise read+write of the
-    primary operand per iteration (~0.02 ms for a 1080p plane)."""
-
-    @jax.jit
-    def run(x):
-        def body(_, x):
-            out = fn(x, *rest)
-            s = jax.tree_util.tree_leaves(out)[0].ravel()[0]
-            return x + (s * 1e-8).astype(x.dtype)
-
-        return jax.lax.fori_loop(0, iters, body, x)
-
-    jax.block_until_ready(run(primary))  # compile + warm
-    t0 = time.perf_counter()
-    jax.block_until_ready(run(primary))
-    return (time.perf_counter() - t0) / iters
+from _timing import chained_timeit as timeit  # noqa: E402
 
 
 def main():
