@@ -33,6 +33,16 @@ def main():
     ap.add_argument("--height", type=int, default=540)   # raw half-res
     ap.add_argument("--width", type=int, default=960)
     ap.add_argument("--exact", action="store_true", help="fp32-exact convs")
+    ap.add_argument("--train", action="store_true",
+                    help="benchmark the jitted train step instead of "
+                    "inference (production defaults: 4 unrollings, "
+                    "136px raw patches, fp32-exact convs, XLA warp)")
+    ap.add_argument("--batch_size", type=int, default=2,
+                    help="--train mode batch size (Options default 2)")
+    ap.add_argument("--train_patch", type=int, default=136,
+                    help="--train mode raw patch width (Options default)")
+    ap.add_argument("--train_unrollings", type=int, default=4,
+                    help="--train mode unrollings (patch_depth 5 default)")
     ap.add_argument("--trace_dir", default=None,
                     help="capture a 5-step jax.profiler device trace here")
     ap.add_argument("--precision", default="auto",
@@ -109,6 +119,62 @@ def main():
         net_impl="xla" if args.exact else "fused",
         fused_precision=precision,
     )
+    if args.train:
+        # production training config: XLA path (the fused kernels are
+        # inference-only), XLA warp (the Pallas warp is forward-only,
+        # loop.py trains with warp_impl='xla'), fp32-exact convs
+        # (Options.exact_precision default)
+        from rvdd_tpu.precision import use_exact_precision
+        from rvdd_tpu.training.train_state import (
+            create_train_state, make_train_step, set_learning_rate,
+        )
+
+        use_exact_precision()
+        td = args.train_unrollings
+        pw = args.train_patch
+        cfg_t = EngineConfig(
+            model_patch_depth=2, patch_depth=td + 1, future_patch_depth=fd,
+            feature_rec=feat, warp_impl="xla", net_impl="xla",
+        )
+        net_t = build_network(arch, cfg_t.network_input_nc, 3, feat)
+        params_t = init_network(
+            net_t, jax.random.PRNGKey(0), (1, 2 * 64, 2 * 64, cfg_t.network_input_nc)
+        )
+        state, tx = create_train_state(params_t)
+        state = set_learning_rate(state, 1e-4)
+        train_step = make_train_step(cfg_t, net_t, tx)
+        B = args.batch_size
+        t_frames = cfg_t.patch_depth + fd
+        rng = np.random.default_rng(0)
+        frames = jnp.asarray(
+            rng.uniform(-1, 1, (B, t_frames, pw, pw, 4)).astype(np.float32))
+        flows = jnp.asarray(
+            rng.uniform(-1, 1, (B, td, cfg_t.d + fd, pw, pw, 2)).astype(np.float32))
+        gt = jnp.asarray(
+            rng.uniform(-1, 1, (B, t_frames, 2 * pw, 2 * pw, 3)).astype(np.float32))
+        weights = jnp.full((td,), 1.0 / td, jnp.float32)
+
+        state, losses = train_step(state, frames, flows, gt, weights)  # compile
+        jax.block_until_ready(losses)
+        state, losses = train_step(state, frames, flows, gt, weights)  # warm
+        jax.block_until_ready(losses)
+        t0 = time.perf_counter()
+        for _ in range(args.frames):
+            state, losses = train_step(state, frames, flows, gt, weights)
+        jax.block_until_ready(losses)
+        dt = time.perf_counter() - t0
+        sps = args.frames * B / dt
+        print(
+            json.dumps({
+                "metric": "train_samples_per_sec_"
+                + args.model.replace("+", "_"),
+                "value": round(sps, 2),
+                "unit": "samples/sec",
+                "vs_baseline": 0.0,
+            })
+        )
+        return
+
     net_dtype = None if args.exact else jnp.bfloat16
     kw = {}
     if "newunet" in arch and not args.exact:

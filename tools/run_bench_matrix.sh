@@ -24,4 +24,6 @@ run --model convnext+feat+future      # flagship
 run --model convnext+feat+future --precision accurate
 run --with_flow --fast_flow           # self-contained on-device TV-L1
 run --exact                           # fp32 XLA reference-parity path
+run --train --frames 10               # jitted train step, production config
+run --train --frames 10 --model convnext+feat+future
 echo "DONE $OUT" >&2
