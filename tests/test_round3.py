@@ -218,3 +218,50 @@ def test_fused_state_dtype_plumbing(pallas_interpret):
         )
         _, st = inference_step(cfg, net, params, None, frames, None)
         assert st.lastden.dtype == want, (sd, st.lastden.dtype)
+
+
+@pytest.mark.slow
+def test_sharded_inference_matches_single_device():
+    """Data x spatial sharded inference (the serving scale-out path) must
+    reproduce the single-device exact step: batch split over 'data',
+    frame H over 'space' (XLA inserts the conv halo exchanges)."""
+    from rvdd_tpu.models import build_network
+    from rvdd_tpu.models.factory import init_network
+    from rvdd_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from rvdd_tpu.recurrent.engine import inference_step, prepare_frames
+
+    cfg = EngineConfig(
+        model_patch_depth=2, patch_depth=2, feature_rec=True,
+        warp_impl="xla",
+    )
+    net = build_network(
+        "convunet-mode=fixedfeatures+feat-depth=2-filters=8",
+        cfg.network_input_nc, 3, True,
+    )
+    b, h, w = 4, 32, 32
+    params = init_network(
+        net, jax.random.PRNGKey(0), (1, 2 * h, 2 * w, cfg.network_input_nc)
+    )
+    rng = np.random.default_rng(3)
+    raw = jnp.asarray(rng.uniform(-1, 1, (b, 2, h, w, 4)).astype(np.float32))
+    yy, xx = np.mgrid[0 : 2 * h, 0 : 2 * w]
+    fl = np.stack([1.1 + np.sin(xx / 19), -0.5 + 0.4 * np.cos(yy / 13)], -1)
+    flows = jnp.asarray(
+        np.broadcast_to(fl[::2, ::2] / 2, (b, 1, 1, h, w, 2)).astype(np.float32).copy()
+    )
+
+    def step(params, raw, flows):
+        frames, flows2 = prepare_frames(cfg, raw, flows)
+        nil = net.nil_features(frames.shape[0], 2 * h, 2 * w)
+        den, _ = inference_step(cfg, net, params, None, frames, flows2[:, 0], nil)
+        return den
+
+    want = np.asarray(jax.jit(step)(params, raw, flows))
+
+    mesh = make_mesh("data2xspace2")
+    with mesh:
+        raw_s = shard_batch(mesh, raw, spatial_axis=2)  # [B, T, H, w, 4]
+        flows_s = shard_batch(mesh, flows, spatial_axis=3)  # [B, 1, D, H, w, 2]
+        params_r = replicate(mesh, params)
+        got = np.asarray(jax.jit(step)(params_r, raw_s, flows_s))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
