@@ -53,7 +53,12 @@ def make_mesh(spec: str = "data", devices=None, batch_size: Optional[int] = None
 
 def batch_spec(ndim: int, spatial_axis: Optional[int] = None) -> P:
     """PartitionSpec for an array with leading batch dim; optionally shard a
-    spatial dim over 'space'."""
+    spatial dim over 'space'.
+
+    Negative axes count from the end — useful because every batch tensor in
+    this framework (frames [B,T,H,W,C], flows [B,TD,D,H,W,2], gt
+    [B,T,H,W,C], raw windows [B,win,H,W,4]) carries H at axis -3, so
+    ``spatial_axis=-3`` shards the frame height uniformly across leaves."""
     parts = [None] * ndim
     parts[0] = "data"
     if spatial_axis is not None:

@@ -487,6 +487,12 @@ def train(opt: Options) -> None:
                     **({"flows": flows} if flows is not None else {}),
                     "gt": batch["gt"],
                 },
+                # shard patch height over the 'space' axis when the mesh has
+                # one (H is axis -3 in every batch tensor; conv halo
+                # exchanges are inserted by XLA under jit)
+                spatial_axis=(
+                    -3 if dict(mesh.shape).get("space", 1) > 1 else None
+                ),
             )
             # optional profiler capture of steps 2..5 of the first epoch
             if opt.profile_dir and epoch == epoch_start and it == 2:

@@ -260,8 +260,9 @@ def test_sharded_inference_matches_single_device():
 
     mesh = make_mesh("data2xspace2")
     with mesh:
-        raw_s = shard_batch(mesh, raw, spatial_axis=2)  # [B, T, H, w, 4]
-        flows_s = shard_batch(mesh, flows, spatial_axis=3)  # [B, 1, D, H, w, 2]
+        # H is axis -3 in every batch tensor of this framework
+        raw_s = shard_batch(mesh, raw, spatial_axis=-3)
+        flows_s = shard_batch(mesh, flows, spatial_axis=-3)
         params_r = replicate(mesh, params)
         got = np.asarray(jax.jit(step)(params_r, raw_s, flows_s))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
