@@ -82,6 +82,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from rvdd_tpu.config import setup_compilation_cache
+
+    setup_compilation_cache("~/.cache/rvdd_tpu/xla")
+
     if args.exact:
         from rvdd_tpu.precision import use_exact_precision
 

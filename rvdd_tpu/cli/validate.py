@@ -34,6 +34,10 @@ def main(argv=None):
 
         use_exact_precision()
 
+    from rvdd_tpu.config import setup_compilation_cache
+
+    setup_compilation_cache(opt.compilation_cache_dir)
+
     cfg = opt.engine_config()
     val_ds = build_validation(opt)
     print(f"Number of validation images = {len(val_ds)}")

@@ -105,9 +105,12 @@ class Options:
     #: 'xla' (exact, any backend) | 'fused' (TPU fast inference: planar
     #: Pallas step; see BENCH.md for measured speed/PSNR per precision)
     net_impl: str = "xla"
-    #: fused-path numerics: 'fast' (bf16) | 'mixed' (fp32 storage, bf16
-    #: MXU) | 'accurate' (fp32 storage, 3-pass MXU ~ fp32)
+    #: fused-path numerics: 'fast' (bf16, 1-pass MXU) | 'mixed' (fp32
+    #: storage, manual 3-pass bf16_3x dots) | 'accurate' (fp32, 6-pass)
     fused_precision: str = "auto"  # auto -> parity-safe preset per variant
+    #: persistent XLA compilation cache (cold start: the 1080p step's first
+    #: jit is 20-40 s; cached reloads are near-instant).  Empty disables.
+    compilation_cache_dir: str = "~/.cache/rvdd_tpu/xla"
     #: fused-path recurrence-carry storage; bf16 carry rounding feeds back
     #: through the recurrence and accumulates over a clip (drift)
     state_dtype: str = "float32"
@@ -187,6 +190,23 @@ class Options:
             lines.append(f"{f_.name:>25}: {getattr(self, f_.name)}")
         lines.append("----------------- End -------------------")
         return "\n".join(lines)
+
+
+def setup_compilation_cache(path: str) -> None:
+    """Enable JAX's persistent compilation cache (content-addressed; safe to
+    share across runs).  The 1080p step's first jit is 20-40 s cold; cached
+    reloads are near-instant.  Empty/None path disables."""
+    if not path:
+        return
+    import jax
+
+    p = os.path.expanduser(path)
+    try:
+        os.makedirs(p, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", p)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # non-fatal: a cold compile is slower, not wrong
+        print(f"compilation cache disabled ({e})")
 
 
 def build_parser(train: bool = True) -> argparse.ArgumentParser:

@@ -384,6 +384,10 @@ def train(opt: Options) -> None:
 
         use_exact_precision()
 
+    from rvdd_tpu.config import setup_compilation_cache
+
+    setup_compilation_cache(opt.compilation_cache_dir)
+
     # training differentiates through the warp -> force the XLA path
     import dataclasses as _dc
 
