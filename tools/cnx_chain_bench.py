@@ -70,6 +70,37 @@ def main():
             print(f"1x block 1080p g={g:2d} ln={ln}   {1e3*t:7.2f} ms")
         return
 
+    if "--sweep3" in sys.argv:
+        # TODO_TPU.md item 3: the full knob grid on the 2-block full-res
+        # chain (the flagship's dominant shape).  Explicit tile_h bypasses
+        # the auto-tiler so dw_rows/dw_group are honored exactly; infeasible
+        # (VMEM) combos are reported and skipped.
+        blocks = tuple(mkblock(rng, F, False) for _ in range(2))
+        hps = (False, False)
+        best = None
+        for dr in (4, 6, 8, 12):
+            for g in (8, 16, 24, 48):
+                for t in (0, 8, 12, 20, 24, 40):
+                    kw = dict(dw_rows=dr, dw_group=g, tile_h=t)
+                    fn = jax.jit(
+                        lambda x, b=blocks, hp=hps, kw=kw: fused_convnext_chain(
+                            x, b, hp, h_img=h, w_img=w, emit=(1,), **kw
+                        )
+                    )
+                    try:
+                        ms = 1e3 * timeit(fn, x, iters=10)
+                    except Exception as e:
+                        print(f"rows={dr:2d} g={g:2d} tile={t:3d}  FAIL "
+                              f"{type(e).__name__}: {str(e)[:80]}")
+                        continue
+                    print(f"rows={dr:2d} g={g:2d} tile={t:3d}  {ms:7.2f} ms")
+                    if best is None or ms < best[0]:
+                        best = (ms, dr, g, t)
+        if best:
+            print(f"BEST: {best[0]:.2f} ms rows={best[1]} g={best[2]} "
+                  f"tile={best[3]}")
+        return
+
     if "--attrib" in sys.argv:
         # cost attribution: skip one stage at a time (mxu rows=8)
         blocks = tuple(mkblock(rng, F, False) for _ in range(1))
