@@ -239,6 +239,14 @@ def _middle8_cnx_body(net, params_mid, d2, precision):
     return nblock("bottleneck", F, 2, h)
 
 
+# Depthwise-engine knobs for the fused chains, in one place so HW sweeps
+# (tools/cnx_chain_bench.py --sweep3/--attrib) can flip the production
+# default: 'mxu' = im2col dense dot over a 49-plane shifted stack;
+# 'mxu2' = dy-contraction dot over a 7x smaller unshifted stack + dx
+# rotate-adds (same MACs, ~7x less stack-build traffic).
+DW_KNOBS = dict(dw_impl="mxu", dw_group=16)
+
+
 def _chain(ch, x, aux, h, w, interpret, aux_channels=None, upsample=False,
            tile_h=0, prec=None, combine=None):
     prec = prec or FUSED_PRECISIONS["fast"]
@@ -267,6 +275,7 @@ def _chain(ch, x, aux, h, w, interpret, aux_channels=None, upsample=False,
         ),
         gelu_exact=prec["gelu_exact"],
         interpret=interpret,
+        **DW_KNOBS,
     )
 
 

@@ -106,7 +106,7 @@ def _cnx_kernel(
     band_dtype,
     precision,
     gelu_exact: bool,
-    dw_mxu: bool,
+    dw_engine: str,  # 'vpu' | 'mxu' | 'mxu2'
     dw_rows: int,
     dw_group: int,
     ln_impl: str,
@@ -126,6 +126,7 @@ def _cnx_kernel(
     pos += 2 * n_tail
     n_outs = 1 if combine else (len(emit) + n_tail)
     out_refs = refs[pos : pos + n_outs]
+    dw_mxu = dw_engine in ("mxu", "mxu2")
     scratch = list(refs[pos + n_outs :])
     win_x = scratch.pop(0)
     win_lo = scratch.pop(0) if upsample_input else None
@@ -367,23 +368,42 @@ def _cnx_kernel(
                 gw = dw_group
                 n_cg = F // gw
                 tpg = n_dy * ksize  # planes per group
-                for dy in range(n_dy):
-                    row = src_band[
-                        pl.ds(pl.multiple_of((r0 + dy) * F, 8), F), :
-                    ]
-                    for dx in range(ksize):
-                        t = dy * ksize + dx
-                        sft = dx - r_half
-                        if sft == 0:
-                            seg = row
+                if "pat" in debug_skip:
+                    pass
+                elif dw_engine == "mxu2":
+                    # unshifted stack, cg-major/dy-inner: 7x fewer plane
+                    # builds than 'mxu' (no rotated copies; the dx shifts
+                    # are applied to the dy-contracted dot result instead)
+                    for dy in range(n_dy):
+                        row = src_band[
+                            pl.ds(pl.multiple_of((r0 + dy) * F, 8), F), :
+                        ]
+                        if n_cg == 1:
+                            pat[dy * F : (dy + 1) * F, :] = row
                         else:
-                            seg = jnp.concatenate(
-                                [row[:, sft:], row[:, :sft]], axis=1
-                            )
-                        for cg in range(n_cg):
-                            pat[
-                                (cg * tpg + t) * gw : (cg * tpg + t + 1) * gw, :
-                            ] = seg[cg * gw : (cg + 1) * gw]
+                            for cg in range(n_cg):
+                                pat[
+                                    (cg * n_dy + dy) * gw
+                                    : (cg * n_dy + dy + 1) * gw, :
+                                ] = row[cg * gw : (cg + 1) * gw]
+                else:
+                    for dy in range(n_dy):
+                        row = src_band[
+                            pl.ds(pl.multiple_of((r0 + dy) * F, 8), F), :
+                        ]
+                        for dx in range(ksize):
+                            t = dy * ksize + dx
+                            sft = dx - r_half
+                            if sft == 0:
+                                seg = row
+                            else:
+                                seg = jnp.concatenate(
+                                    [row[:, sft:], row[:, :sft]], axis=1
+                                )
+                            for cg in range(n_cg):
+                                pat[
+                                    (cg * tpg + t) * gw : (cg * tpg + t + 1) * gw, :
+                                ] = seg[cg * gw : (cg + 1) * gw]
                 # inter-op storage dtype: f32 measured faster than bf16
                 # (the extra casts outweigh the VPU-stream bandwidth saved)
                 it = jnp.float32
@@ -391,6 +411,43 @@ def _cnx_kernel(
                     acc = jnp.broadcast_to(
                         dw_b.astype(it), (F, rb * wl)
                     ) + pat[:F, :1]
+                elif dw_engine == "mxu2":
+                    # dy-contraction on the MXU: per (j, cg) one
+                    # [7gw, 7gw] @ [7gw, wl] dot over the unshifted dy
+                    # window yields s[(dx, c)] = sum_dy w[c,dy,dx]*row;
+                    # then 7 lane-rotate+adds fold the dx axis.  Same MAC
+                    # count as 'mxu' (49*gw*F*wl per row), 7x less operand
+                    # streaming and no shifted stack build.
+                    dws = []
+                    for j in range(rb):
+                        per_cg = []
+                        for cg in range(n_cg):
+                            s = jax.lax.dot_general(
+                                dwd[cg * ksize * gw : (cg + 1) * ksize * gw, :],
+                                pat[
+                                    (cg * n_dy + j) * gw
+                                    : (cg * n_dy + j + ksize) * gw,
+                                    :,
+                                ],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=precision,
+                            )
+                            a = None
+                            for dx in range(ksize):
+                                sft = dx - r_half
+                                seg = s[dx * gw : (dx + 1) * gw, :]
+                                if sft != 0:
+                                    seg = jnp.concatenate(
+                                        [seg[:, sft:], seg[:, :sft]], axis=1
+                                    )
+                                a = seg if a is None else a + seg
+                            per_cg.append(a)
+                        dws.append(
+                            per_cg[0] if n_cg == 1
+                            else jnp.concatenate(per_cg, axis=0)
+                        )
+                    acc = (jnp.concatenate(dws, axis=1) + dw_b).astype(it)
                 else:
                     dws = [
                         jnp.concatenate(
@@ -604,7 +661,8 @@ def fused_convnext_chain(
     band_dtype=jnp.bfloat16,  # inter-stage activation storage precision
     mxu_precision: str = "default",  # 'default' (1-pass bf16) | 'high'
     gelu_exact: bool = False,  # erf GELU (reference) vs tanh approximation
-    dw_impl: str = "mxu",  # depthwise engine: 'mxu' (im2col dot) | 'vpu'
+    dw_impl: str = "mxu",  # depthwise engine: 'mxu' (im2col dot) |
+    #   'mxu2' (dy-dot over an unshifted stack + dx rotate-adds) | 'vpu'
     dw_rows: int = 8,  # output rows sharing one patch stack (mxu mode)
     dw_group: int = 16,  # channels per dw dense dot (K = 49*group)
     ln_impl: str = "vpu",  # LayerNorm stats: 'vpu' sublane reduce | 'mxu'
@@ -664,16 +722,18 @@ def fused_convnext_chain(
                 bands += (t + 2 * halos[1]) * aux_c
             if dw_impl == "mxu":
                 bands += (rows + ksize - 1) * ksize * F
+            elif dw_impl == "mxu2":
+                bands += (rows + ksize - 1) * F  # unshifted stack
             outs = 2 * t * (F * len(emit) + sum(tail_couts))
             vm = (bands + outs) * wl * jnp.dtype(band_dtype).itemsize
-            if dw_impl == "mxu":
+            if dw_impl in ("mxu", "mxu2"):
                 vm += (3 * F + 4 * F) * rows * wl * 4  # f32 intermediates
             return vm
 
         rowcost = {8: 0.93, 4: 1.0, 2: 1.12}
         best = None
         cands = tuple(r for r in (8, 4, 2) if r <= dw_rows) or (2,)
-        for rows in cands if dw_impl == "mxu" else (1,):
+        for rows in cands if dw_impl in ("mxu", "mxu2") else (1,):
             for t in (72, 60, 54, 48, 40, 36, 32, 30, 24, 20, 18, 16, 12, 8):
                 if h_img % t or t <= halos[0] or est(t, rows) >= budget:
                     continue
@@ -685,7 +745,7 @@ def fused_convnext_chain(
             tile_h, dw_rows = h_img, 2
         else:
             _, tile_h, dw_rows = best
-            if dw_impl != "mxu":
+            if dw_impl not in ("mxu", "mxu2"):
                 dw_rows = 1
     assert h_img % tile_h == 0 and tile_h > halos[0]
     n_tiles = h_img // tile_h
@@ -699,7 +759,7 @@ def fused_convnext_chain(
         upsample_input=upsample_input, ksize=ksize, n_tail=len(tail),
         tail_couts=tuple(tail_couts), out_dtype=out_dtype,
         band_dtype=band_dtype, precision=PRECISIONS[mxu_precision],
-        gelu_exact=gelu_exact, dw_mxu=(dw_impl == "mxu"), dw_rows=dw_rows,
+        gelu_exact=gelu_exact, dw_engine=dw_impl, dw_rows=dw_rows,
         dw_group=dw_group, ln_impl=ln_impl, debug_skip=tuple(debug_skip),
     )
 
@@ -719,6 +779,25 @@ def fused_convnext_chain(
             blk[di] = (
                 d3[:, :, :, None] * eye[None, :, None, :]
             ).reshape(F, ksize * ksize * g)
+            nbs.append(tuple(blk))
+        blocks = tuple(nbs)
+    elif dw_impl == "mxu2":
+        # W2 per channel group: [7g, 7g] with
+        # W2[dx*g + c, dy*g + c'] = taps[cg*g + c, dy*7 + dx] iff c' == c,
+        # stacked over groups along rows -> [n_cg*7g, 7g]
+        assert F % dw_group == 0
+        g = dw_group
+        eye = jnp.eye(g, dtype=jnp.float32)
+        nbs = []
+        for blk, hp in zip(blocks, has_proj):
+            blk = list(blk)
+            di = 2 if hp else 0
+            d4 = blk[di].reshape(F // g, g, ksize, ksize)  # [cg, c, dy, dx]
+            w2 = (
+                d4.transpose(0, 3, 1, 2)[:, :, :, :, None]
+                * eye[None, None, :, None, :]
+            )  # [cg, dx, c, dy, c']
+            blk[di] = w2.reshape(F // g * ksize * g, ksize * g)
             nbs.append(tuple(blk))
         blocks = tuple(nbs)
 
@@ -777,6 +856,10 @@ def fused_convnext_chain(
     if dw_impl == "mxu":
         scratch.append(
             pltpu.VMEM(((dw_rows + ksize - 1) * ksize * F, wl), band_dtype)
+        )
+    elif dw_impl == "mxu2":
+        scratch.append(
+            pltpu.VMEM(((dw_rows + ksize - 1) * F, wl), band_dtype)
         )
     scratch.append(pltpu.SemaphoreType.DMA)
 

@@ -71,56 +71,71 @@ def main():
         return
 
     if "--sweep3" in sys.argv:
-        # TODO_TPU.md item 3: the full knob grid on the 2-block full-res
-        # chain (the flagship's dominant shape).  Explicit tile_h bypasses
-        # the auto-tiler so dw_rows/dw_group are honored exactly; infeasible
-        # (VMEM) combos are reported and skipped.
+        # TODO_TPU.md item 3: the knob grid on the 2-block full-res chain
+        # (the flagship's dominant shape), adaptively: stage A sweeps
+        # impl x dw_rows x dw_group at auto tile; stage B sweeps tile_h on
+        # the top-3.  Explicit tile_h bypasses the auto-tiler so knobs are
+        # honored exactly; infeasible (VMEM) combos are reported + skipped.
         blocks = tuple(mkblock(rng, F, False) for _ in range(2))
         hps = (False, False)
-        best = None
-        for dr in (4, 6, 8, 12):
-            for g in (8, 16, 24, 48):
-                for t in (0, 8, 12, 20, 24, 40):
-                    kw = dict(dw_rows=dr, dw_group=g, tile_h=t)
-                    fn = jax.jit(
-                        lambda x, b=blocks, hp=hps, kw=kw: fused_convnext_chain(
-                            x, b, hp, h_img=h, w_img=w, emit=(1,), **kw
-                        )
-                    )
-                    try:
-                        ms = 1e3 * timeit(fn, x, iters=10)
-                    except Exception as e:
-                        print(f"rows={dr:2d} g={g:2d} tile={t:3d}  FAIL "
-                              f"{type(e).__name__}: {str(e)[:80]}")
-                        continue
-                    print(f"rows={dr:2d} g={g:2d} tile={t:3d}  {ms:7.2f} ms")
-                    if best is None or ms < best[0]:
-                        best = (ms, dr, g, t)
-        if best:
-            print(f"BEST: {best[0]:.2f} ms rows={best[1]} g={best[2]} "
-                  f"tile={best[3]}")
+
+        def run(kw):
+            fn = jax.jit(
+                lambda x, b=blocks, hp=hps, kw=kw: fused_convnext_chain(
+                    x, b, hp, h_img=h, w_img=w, emit=(1,), **kw
+                )
+            )
+            try:
+                ms = 1e3 * timeit(fn, x, iters=10)
+            except Exception as e:
+                print(f"{kw}  FAIL {type(e).__name__}: {str(e)[:80]}")
+                return None
+            print(f"{kw}  {ms:7.2f} ms")
+            return ms
+
+        scored = []
+        for impl in ("mxu", "mxu2"):
+            for dr in (4, 8, 12):
+                for g in (8, 16, 48):
+                    kw = dict(dw_impl=impl, dw_rows=dr, dw_group=g, tile_h=0)
+                    ms = run(kw)
+                    if ms is not None:
+                        scored.append((ms, kw))
+        scored.sort(key=lambda e: e[0])
+        for _, base in scored[:3]:
+            for t in (8, 12, 20, 24, 40):
+                kw = dict(base, tile_h=t)
+                ms = run(kw)
+                if ms is not None:
+                    scored.append((ms, kw))
+        scored.sort(key=lambda e: e[0])
+        print(f"BEST: {scored[0][0]:.2f} ms {scored[0][1]}")
         return
 
     if "--attrib" in sys.argv:
         # cost attribution: skip one stage at a time (mxu rows=8)
         blocks = tuple(mkblock(rng, F, False) for _ in range(1))
         hps = (False,)
-        for skip in ((), ("dw",), ("ln",), ("gelu",), ("pw",),
-                     ("dw", "ln", "gelu", "pw")):
-            fn = jax.jit(
-                lambda x, b=blocks, hp=hps, sk=skip: fused_convnext_chain(
-                    x, b, hp, h_img=h, w_img=w, emit=(0,), dw_rows=8,
-                    debug_skip=sk,
+        for impl in ("mxu", "mxu2"):
+            for skip in ((), ("pat",), ("dw",), ("ln",), ("gelu",), ("pw",),
+                         ("dw", "ln", "gelu", "pw")):
+                fn = jax.jit(
+                    lambda x, b=blocks, hp=hps, sk=skip, im=impl:
+                    fused_convnext_chain(
+                        x, b, hp, h_img=h, w_img=w, emit=(0,), dw_rows=8,
+                        dw_impl=im, debug_skip=sk,
+                    )
                 )
-            )
-            t = timeit(fn, x)
-            print(f"1x block 1080p skip={','.join(skip) or 'none':16s} {1e3*t:7.2f} ms")
+                t = timeit(fn, x)
+                print(f"1x block 1080p [{impl}] "
+                      f"skip={','.join(skip) or 'none':16s} {1e3*t:7.2f} ms")
         return
 
     for nb in (1, 2):
         blocks = tuple(mkblock(rng, F, False) for _ in range(nb))
         hps = (False,) * nb
-        for impl, rows_opts in (("vpu", (0,)), ("mxu", (2, 4, 8))):
+        for impl, rows_opts in (("vpu", (0,)), ("mxu", (2, 4, 8)),
+                                ("mxu2", (2, 4, 8))):
             for dr in rows_opts:
                 kw = dict(dw_impl=impl)
                 if dr:
