@@ -45,12 +45,24 @@ def main():
                     help="--train mode unrollings (patch_depth 5 default)")
     ap.add_argument("--trace_dir", default=None,
                     help="capture a 5-step jax.profiler device trace here")
+    ap.add_argument("--dw_impl", default=None, choices=["mxu", "mxu2", "vpu"],
+                    help="override the ConvNeXt fused-chain depthwise "
+                    "engine (fast_convnext.DW_KNOBS) for A/B benching")
+    ap.add_argument("--dw_group", type=int, default=None,
+                    help="override the dw channel-group width")
     ap.add_argument("--precision", default="auto",
                     choices=["auto", "fast", "mixed", "accurate", "wsplit", "wf32"],
                     help="fused-path numerics preset (FUSED_PRECISIONS); "
                     "auto = fastest preset within the 0.05 dB parity budget "
                     "for the variant")
     args = ap.parse_args()
+    if args.dw_impl or args.dw_group:
+        from rvdd_tpu.models import fast_convnext
+
+        if args.dw_impl:
+            fast_convnext.DW_KNOBS["dw_impl"] = args.dw_impl
+        if args.dw_group:
+            fast_convnext.DW_KNOBS["dw_group"] = args.dw_group
 
     # Fail fast if the TPU relay is unreachable: the axon backend init
     # otherwise blocks FOREVER on the first array op (no timeout inside

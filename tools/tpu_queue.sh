@@ -26,6 +26,7 @@ step trace 900 python bench.py --trace_dir "$OUTDIR/trace"
 
 # 3. flagship + the dw knob sweeps (TODO item 3: knobs before code)
 step flagship 900 python bench.py --model convnext+feat+future
+step flagship_mxu2 900 python bench.py --model convnext+feat+future --dw_impl mxu2
 step cnx_sweep 1800 python tools/cnx_chain_bench.py
 step cnx_sweep3 3600 python tools/cnx_chain_bench.py --sweep3
 step cnx_sweep2 1200 python tools/cnx_chain_bench.py --sweep2
