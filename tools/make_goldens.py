@@ -289,6 +289,136 @@ def golden_networks():
     print("wrote net_convnext_random.npz")
 
 
+def golden_gradients():
+    """Training gradient parity: run the reference recurrentModel's actual
+    forward + loss backward (models/recurrent_model.py:161-538) on tiny
+    random-init nets and record dL/dparams for every parameter.
+
+    The model object is assembled attribute-by-attribute (same pattern as
+    golden_schedules) so no Options/BaseModel/GPU machinery is needed; the
+    math exercised is the real unrolled recurrence: Hamilton-Adams
+    pre-demosaic, x2 flow upsample, bicubic warps of the carried denoised
+    frame (and feature map / future frame), the UNet forward per unrolling,
+    and the weighted L1 loss (x lambda_L1) summed over unrollings.
+    """
+    import torch
+
+    _stub_modules()
+    sys.path.insert(0, str(REF))
+    import importlib
+
+    rm = importlib.import_module("models.recurrent_model")
+    from networks.unet import UNet_FixedFeatures, UNet_FixedFeatures_feat
+    from util.Hamilton_Adam_demo import HamiltonAdam
+
+    class Opt:
+        model_patch_depth = 2
+        future_patch_depth = 0
+        input_nc = 3
+        output_nc = 3
+        patch_depth = 4
+        feature_rec = False
+        no_warp = False
+        no_predemosaic = False
+        warp_raw = False
+        prev_noisy_frame = False
+        raw_gt = False
+        lambda_L1 = 100.0
+        unroll_focus = "all"
+        non_blocking = False
+
+    def run_case(name, feat, fD, seed):
+        opt = Opt()
+        opt.feature_rec = feat
+        opt.future_patch_depth = fD
+        torch.manual_seed(seed)
+        rng = np.random.default_rng(seed)
+        D = opt.model_patch_depth - 1
+        TD = opt.patch_depth - opt.model_patch_depth + 1
+        T = opt.patch_depth + fD
+        h, w = 12, 16  # raw half-res -> RGB 24x32
+        in_nc = (opt.model_patch_depth + fD) * opt.input_nc
+        cls = UNet_FixedFeatures_feat if feat else UNet_FixedFeatures
+        net = cls(in_channels=in_nc, out_channels=3, depth=4, filters=12)
+
+        model = rm.recurrentModel.__new__(rm.recurrentModel)
+        model.opt = opt
+        model.device = torch.device("cpu")
+        model.isTrain = True
+        model.netDenoise = net
+        model._netDenoise = net
+        model.criterionL1 = torch.nn.L1Loss()
+        model.hamilton_adam = HamiltonAdam("gbrg")
+        model.gt_nc = opt.input_nc
+        model.data_nc = 4
+        model.training_unrollings = TD
+
+        raw = rng.uniform(-1, 1, (1, T, h, w, 4)).astype(np.float32)
+        gt = rng.uniform(-1, 1, (1, T, 2 * h, 2 * w, 3)).astype(np.float32)
+        from scipy.ndimage import gaussian_filter
+
+        fl = np.stack(
+            [
+                gaussian_filter(
+                    rng.standard_normal((TD, D + fD, h, w)), (0, 0, 2, 2)
+                )
+                * 1.5
+                for _ in range(2)
+            ],
+            axis=2,
+        ).astype(np.float32)  # [TD, D+fD, 2, h, w]
+
+        model.set_input(
+            {
+                "n": torch.from_numpy(
+                    raw.transpose(0, 1, 4, 2, 3).reshape(1, T * 4, h, w)
+                ),
+                "gt": torch.from_numpy(
+                    gt.transpose(0, 1, 4, 2, 3).reshape(1, T * 3, 2 * h, 2 * w)
+                ),
+                "n_path": ["x"],
+                "flow": torch.from_numpy(fl[None].copy()),
+                "epoch": 99,
+                "epoch_iter": 0,
+                "epoch_length": 100,
+            }
+        )
+        model.forward()
+        model.compute_losses()
+        model.loss_Denoiser.backward()
+
+        arrs = dict(
+            raw=raw,
+            gt=gt,
+            flow=fl,
+            loss=np.float32(model.loss_Denoiser.item()),
+            weights=np.asarray(
+                model.compute_unrolling_weights().numpy(), np.float32
+            ),
+            denoised=np.stack(
+                [d.detach().numpy() for d in model.denoised_list], 1
+            ),
+        )
+        arrs.update(
+            {f"sd/{k}": v.detach().numpy() for k, v in net.state_dict().items()}
+        )
+        arrs.update(
+            {
+                f"gd/{k}": (
+                    p.grad.numpy()
+                    if p.grad is not None
+                    else np.zeros(p.shape, np.float32)
+                )
+                for k, p in net.named_parameters()
+            }
+        )
+        np.savez_compressed(OUT / f"grads_{name}.npz", **arrs)
+        print(f"wrote grads_{name}.npz loss={model.loss_Denoiser.item():.5f}")
+
+    run_case("convunet_feat", True, 0, 11)
+    run_case("convunet_future", False, 1, 12)
+
+
 def golden_schedules():
     """Unrolling-weight schedules from the reference model, densely sampled."""
     import torch
@@ -341,6 +471,7 @@ ALL = {
     "pipeline": golden_pipeline,
     "tvl1": golden_tvl1,
     "networks": golden_networks,
+    "gradients": golden_gradients,
     "schedules": golden_schedules,
 }
 
