@@ -55,6 +55,13 @@ def main():
                     help="fused-path numerics preset (FUSED_PRECISIONS); "
                     "auto = fastest preset within the 0.05 dB parity budget "
                     "for the variant")
+    ap.add_argument("--state_dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="recurrence-carry dtype (attribution knob; "
+                    "float32 is the production default)")
+    ap.add_argument("--no_split", action="store_true",
+                    help="attribution knob: drop the selective dec2 "
+                    "weight-split from the 'fast' preset (costs ~0.06 dB)")
     args = ap.parse_args()
     if args.dw_impl or args.dw_group:
         from rvdd_tpu.models import fast_convnext
@@ -120,18 +127,21 @@ def main():
         "convunet+feat+future": "convunet-mode=fixedfeatures+feat",
         "convnext+feat+future": "newunet-mode=feat",
     }[args.model]
-    from rvdd_tpu.models.fast_unet import resolve_fused_precision
+    from rvdd_tpu.models.fast_unet import FUSED_PRECISIONS, resolve_fused_precision
 
     precision = resolve_fused_precision(
         args.precision, arch=arch, feature_rec=feat, future=fd > 0
     )
+    if args.no_split:
+        FUSED_PRECISIONS["fast"] = dict(
+            FUSED_PRECISIONS["fast"], weight_dtype=None)
     cfg = EngineConfig(
         model_patch_depth=2, patch_depth=2 + fd, future_patch_depth=fd,
         feature_rec=feat, warp_impl="xla" if args.exact else "pallas",
         # fp32 recurrence carry is the production default (Options.state_dtype
         # and the PARITY/BENCH quality rows are measured with it); the bench
         # must run the same numerics it pairs fps with
-        state_dtype="float32",
+        state_dtype=args.state_dtype,
         net_impl="xla" if args.exact else "fused",
         fused_precision=precision,
     )

@@ -77,9 +77,14 @@ def _warp_kernel(
     tc: int,
     max_disp: int,
     coeff_a: float,
+    debug_skip: str = "",
 ):
     i = pl.program_id(0)
     g = pl.program_id(1)
+    n_tiles = pl.num_programs(0)
+    n_groups = pl.num_programs(1)
+    seq = i * n_groups + g
+    slot = jax.lax.rem(seq, 2)
 
     # the window scratch carries th fringe rows on each side: the d-loop
     # bounds are tile-wide, so a chunk's slice start can precede its own
@@ -87,19 +92,53 @@ def _warp_kernel(
     # zeroed once so 0 * garbage can't produce NaN
     @pl.when((i == 0) & (g == 0))
     def _zero_fringe():
-        win_ref[0:th] = jnp.zeros((th, kc, wlp), win_ref.dtype)
-        win_ref[th + rows_win : 2 * th + rows_win] = jnp.zeros(
-            (th, kc, wlp), win_ref.dtype
+        for s in range(2):
+            win_ref[s, 0:th] = jnp.zeros((th, kc, wlp), win_ref.dtype)
+            win_ref[s, th + rows_win : 2 * th + rows_win] = jnp.zeros(
+                (th, kc, wlp), win_ref.dtype
+            )
+
+    def win_copy(ti, gi, sl):
+        return pltpu.make_async_copy(
+            x_ref.at[pl.ds(win_start_ref[ti], rows_win), pl.ds(gi * kc, kc), :],
+            win_ref.at[sl, pl.ds(th, rows_win)],
+            sem.at[sl],
         )
 
-    copy = pltpu.make_async_copy(
-        x_ref.at[pl.ds(win_start_ref[i], rows_win), pl.ds(g * kc, kc), :],
-        win_ref.at[pl.ds(th, rows_win)],
-        sem,
-    )
-    copy.start()
+    # double-buffered window pipeline: the copy for THIS (tile, group) was
+    # started one grid step ago (or in the prologue); start the NEXT step's
+    # copy into the other slot before blocking, so the DMA engine streams
+    # continuously instead of exposing its latency 105x per frame
+    if debug_skip != "nodma":
+        @pl.when(seq == 0)
+        def _prologue():
+            win_copy(i, g, slot).start()
 
-    @pl.when(g == 0)
+        @pl.when(seq < n_tiles * n_groups - 1)
+        def _start_next():
+            wrap = g + 1 == n_groups
+            g_n = jnp.where(wrap, 0, g + 1)
+            i_n = jnp.where(wrap, i + 1, i)
+            win_copy(i_n, g_n, 1 - slot).start()
+
+    if debug_skip == "mask":
+        # timing attribution: skip the weight/mask build; emit deterministic
+        # bounds so the sweep loops run a representative trip count
+        @pl.when(g == 0)
+        def _stub_bounds():
+            dsc_ref[0] = -2
+            dsc_ref[1] = jnp.int32(min(5, d_max))
+            n_lc = wl // tc
+            n_rc = th // rc
+            for rj in range(n_rc):
+                for lc in range(n_lc):
+                    k2 = 2 + 2 * (rj * n_lc + lc)
+                    dsc_ref[k2] = -2
+                    dsc_ref[k2 + 1] = jnp.int32(min(5, d_max))
+
+    build_masks = debug_skip != "mask"
+
+    @pl.when(g == 0 if build_masks else g < 0)
     def _build_masks():
         rows = jax.lax.broadcasted_iota(jnp.int32, (th, wl), 0) + i * th
         cols = jax.lax.broadcasted_iota(jnp.int32, (th, wl), 1)
@@ -191,7 +230,8 @@ def _warp_kernel(
             )
             we_ref[ee : ee + 1] = plane[None]
 
-    copy.wait()
+    if debug_skip != "nodma":
+        win_copy(i, g, slot).wait()
 
     dmin = dsc_ref[0]
     n_lc = wl // tc
@@ -217,12 +257,15 @@ def _warp_kernel(
                 # the per-ee slice+convert of the full row was ~4x the
                 # useful VMEM/convert traffic.
                 rows_d = win_ref[
-                    pl.ds(base + dmin_c + dj + th, rc), :, lane0 : lane0 + tc + 128
+                    slot, pl.ds(base + dmin_c + dj + th, rc), :,
+                    lane0 : lane0 + tc + 128,
                 ]  # [rc, K, tc+128]
                 rows_f = rows_d.astype(jnp.float32)
                 wd = wd_ref[
                     pl.ds(dmin_c - dmin + dj, 1), pl.ds(r0, rc), lane0 : lane0 + tc
                 ][0]
+                if debug_skip == "fma":
+                    return acc + rows_f[:, :, l0 : l0 + tc]
                 # NOTE: a per-iteration lax.cond skip of unused displacements
                 # was measured NET NEGATIVE (realistic flow 19 -> 37 ms):
                 # conds block Mosaic pipelining. The adaptive e_halo switch
@@ -236,9 +279,14 @@ def _warp_kernel(
                     acc = acc + (wd * we)[:, None, :] * seg
                 return acc
 
-            acc = jax.lax.fori_loop(
-                0, nd_c, d_body, jnp.zeros((rc, kc, tc), jnp.float32)
-            )
+            if debug_skip in ("dloop", "nodma"):
+                acc = win_ref[
+                    slot, pl.ds(base + th, rc), :, l0 : l0 + tc
+                ].astype(jnp.float32)
+            else:
+                acc = jax.lax.fori_loop(
+                    0, nd_c, d_body, jnp.zeros((rc, kc, tc), jnp.float32)
+                )
             if lane0 + tc > w_img:  # zero the pad lanes at the right edge
                 lanes = (
                     jax.lax.broadcasted_iota(jnp.int32, (1, 1, tc), 2) + lane0
@@ -257,6 +305,7 @@ def _warp_kernel(
     static_argnames=(
         "h_img", "w_img", "max_disp", "e_halo", "d_max", "tile_h", "group",
         "tile_c", "coeff_a", "out_dtype", "interpret", "prepadded",
+        "win_dtype", "debug_skip",
     ),
 )
 def warp_planar_pallas(
@@ -274,6 +323,8 @@ def warp_planar_pallas(
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
     prepadded: bool = False,
+    win_dtype=None,
+    debug_skip: str = "",
 ) -> jnp.ndarray:
     """Bicubic warp of planar x by flow; returns [(H*C), WL] out_dtype.
 
@@ -314,9 +365,15 @@ def warp_planar_pallas(
     pad_y = d_max + 3
     rows_win = min(th + 2 * pad_y, h_img)
 
-    # fp32 planar inputs stay fp32 end-to-end (accurate mode); everything
-    # else drops to bf16 for half the DMA/VMEM traffic
-    win_dtype = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
+    # window dtype defaults to the input dtype (fp32 in = exact fp32 taps);
+    # win_dtype=bfloat16 overrides it for a fast warp of an fp32 carry: the
+    # HBM copy of the state stays rounding-free for the recurrence feedback
+    # (engine._fused_state_dtype), while the warp's window rounds to bf16 —
+    # a per-frame *input* rounding, the same class the bf16 conv bands
+    # already impose, which does not accumulate across frames.  Measured:
+    # fp32 windows cost +5.6 ms at 1080p/56ch vs bf16 windows.
+    if win_dtype is None:
+        win_dtype = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
     x3 = x.reshape(h_img, c, -1).astype(win_dtype)
 
     u = jnp.clip(flow[..., 0], -max_disp, max_disp)
@@ -354,7 +411,7 @@ def warp_planar_pallas(
             _warp_kernel,
             th=th, wl=wl, wlp=wlp, l0=l0, e_halo=eh, d_max=d_max,
             rows_win=rows_win, h_img=h_img, w_img=w_img, kc=kc, rc=rc, tc=tc,
-            max_disp=max_disp, coeff_a=coeff_a,
+            max_disp=max_disp, coeff_a=coeff_a, debug_skip=debug_skip,
         )
         return pl.pallas_call(
             kern,
@@ -374,8 +431,8 @@ def warp_planar_pallas(
                 pltpu.VMEM((d_max, th, wl), jnp.float32),
                 pltpu.VMEM((2 * eh + 1, th, wl), jnp.float32),
                 pltpu.SMEM((2 + 2 * (th // rc) * (wl // tc),), jnp.int32),
-                pltpu.VMEM((rows_win + 2 * th, kc, wlp), win_dtype),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, rows_win + 2 * th, kc, wlp), win_dtype),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=120 * 1024 * 1024,
