@@ -144,3 +144,33 @@ def test_batch_norm_matches_torch_and_trains():
         .detach().numpy().transpose(0, 2, 3, 1)
     )
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_reinit_covers_transposed_conv_leaves():
+    """--init_type reinit reaches the transposedconv upsample params too:
+    reinit_convs suffix-matches 'kernel'/'bias', so up_transposed{i}_kernel
+    follows the same policy as every other conv (reference applies
+    init_weights to all Conv* modules: networks/__init__.py init_net)."""
+    from rvdd_tpu.models import build_network
+    from rvdd_tpu.models.factory import init_network
+
+    net = build_network(
+        "convunet-mode=fixedfeatures-upsampling_mode=transposedconv4-filters=8-depth=2",
+        6, 3, False,
+    )
+    params = init_network(net, jax.random.PRNGKey(0), (1, 16, 16, 6),
+                          init_type="normal")
+    flat = {
+        "/".join(str(getattr(p, "key", p)) for p in path): np.asarray(v)
+        for path, v in jax.tree_util.tree_flatten_with_path(params)[0]
+    }
+    tks = [k for k in flat if "up_transposed" in k and k.endswith("kernel")]
+    tbs = [k for k in flat if "up_transposed" in k and k.endswith("bias")]
+    assert tks and tbs, sorted(flat)
+    for k in tks:
+        # the 'normal' policy draws N(0, 0.02); lecun_normal on a (4,4,8,8)
+        # kernel would have std ~ 1/sqrt(128) ~ 0.088 — distinguishable
+        std = flat[k].std()
+        assert 0.01 < std < 0.03, (k, std)
+    for k in tbs:
+        assert np.all(flat[k] == 0), k
