@@ -22,17 +22,15 @@ def fetch(out):
     return float(jnp.sum(leaves[0].ravel()[:8].astype(jnp.float32)))
 
 
-def timeit(fn, *args, iters=10, warmup=2):
-    for _ in range(warmup):
-        out = fn(*args)
-    fetch(out)
-    t0 = time.perf_counter()
-    prev = None
-    for _ in range(iters):
-        # chain a dependency so the relay can't memoize identical launches
-        out = fn(*args)
-    fetch(out)
-    return (time.perf_counter() - t0) / iters
+def timeit(fn, *args, iters=8, warmup=0):
+    # differential in-jit timing (tools/_timing.py): cancels the relay's
+    # ~40 ms fetch constant that biased per-call loops by +4-5 ms
+    import os, sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from _timing import chained_timeit
+
+    return chained_timeit(fn, *args, iters=iters)
 
 
 def main():

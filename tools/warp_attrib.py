@@ -10,6 +10,8 @@ import time
 
 import numpy as np
 import jax
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax.numpy as jnp
 
 
@@ -17,18 +19,13 @@ def _fetch(out):
     return float(jnp.sum(out.ravel()[:8].astype(jnp.float32)))
 
 
-def timeit(fn, x, flow, iters=10, warmup=2):
-    # chain output -> input: the axon relay appears to memoize repeated
-    # identical executions, so independent same-arg calls measure ~0
-    out = x
-    for _ in range(warmup):
-        out = fn(out, flow)
-    _fetch(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(out, flow)
-    _fetch(out)
-    return (time.perf_counter() - t0) / iters
+def timeit(fn, x, flow, iters=8, warmup=0):
+    # differential in-jit timing (see tools/_timing.py: the relay memoizes
+    # identical dispatches, block_until_ready does not block, and a fetch
+    # costs ~40 ms — the old call-chain loop was biased +4-5 ms/call)
+    from _timing import chained_timeit
+
+    return chained_timeit(fn, x, flow, iters=iters)
 
 
 def main():
