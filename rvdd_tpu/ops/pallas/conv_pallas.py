@@ -312,8 +312,15 @@ def _chain_kernel(
                 # DEFAULT-precision MXU passes recover ~fp32 fidelity
                 half = wm.shape[0] // 2
                 pf = pat.astype(jnp.float32)
-                p_hi = pf.astype(jnp.bfloat16)
-                p_lo = (pf - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                # mantissa-truncation split (see _split below: an
+                # astype-based round-trip is elidable under
+                # --xla_allow_excess_precision, zeroing the lo term)
+                pbits = jax.lax.bitcast_convert_type(pf, jnp.uint32)
+                p_hi_f = jax.lax.bitcast_convert_type(
+                    pbits & jnp.uint32(0xFFFF0000), jnp.float32
+                )
+                p_hi = p_hi_f.astype(jnp.bfloat16)
+                p_lo = (pf - p_hi_f).astype(jnp.bfloat16)
                 return (
                     dot1(wm[:half], p_hi)
                     + dot1(wm[:half], p_lo)
@@ -645,10 +652,20 @@ def fused_conv_chain(
     scratch.append(pltpu.SemaphoreType.DMA)
 
     def _split(w):
-        hi = w.astype(jnp.bfloat16)
-        lo = (w.astype(jnp.float32) - hi.astype(jnp.float32)).astype(
-            jnp.bfloat16
+        # hi/lo via mantissa-bit truncation, NOT via astype(bf16): under
+        # --xla_allow_excess_precision (set on TPU toolchains) XLA keeps
+        # the f32->bf16->f32 round-trip in f32, so `lo = w - hi` folds to
+        # ZERO and the split silently degenerates to 1-pass bf16 weights.
+        # Measured on-chip before this fix: convunet+feat fast delta
+        # -0.088 dB = exactly the no-split attribution value (-0.100 /
+        # -0.037 with the split, PARITY.md).  Bit masking can't be elided.
+        wf = w.astype(jnp.float32)
+        bits = jax.lax.bitcast_convert_type(wf, jnp.uint32)
+        hi_f = jax.lax.bitcast_convert_type(
+            bits & jnp.uint32(0xFFFF0000), jnp.float32
         )
+        hi = hi_f.astype(jnp.bfloat16)  # exact: mantissa already truncated
+        lo = (wf - hi_f).astype(jnp.bfloat16)
         return jnp.concatenate([hi, lo], axis=0)
 
     wms = [

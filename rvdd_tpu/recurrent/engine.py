@@ -392,6 +392,20 @@ def _fast_planar_step(
                 fused.reshape(h, cf, -1)[:, :, STATE_PAD_LEFT:STATE_PAD_LEFT + wl]
                 * (lanes < w).astype(bd)
             ).reshape(h * cf, wl)
+        elif cfg.warp_impl == "xla":
+            # diagnostic/exactness path: XLA bicubic warp of the planar
+            # state (isolates the Pallas warp kernel's band/clamp
+            # approximations from the conv chains in quality attribution)
+            from rvdd_tpu.ops.warp import warp as warp_xla
+
+            img = jnp.transpose(
+                fused.reshape(h, cf, -1)[:, :, STATE_PAD_LEFT:STATE_PAD_LEFT + w],
+                (0, 2, 1),
+            )
+            wimg = warp_xla(img[None], flows[bi, None, 0], "bicubic")[0][0]
+            warped = jnp.pad(
+                jnp.transpose(wimg, (0, 2, 1)), ((0, 0), (0, 0), (0, wl - w))
+            ).astype(bd).reshape(h * cf, wl)
         else:
             # the window rounds to the band dtype the net consumes anyway:
             # the fp32 carry stays rounding-free in HBM for the recurrence

@@ -211,13 +211,22 @@ def test_fused_state_dtype_plumbing(pallas_interpret):
     params = init_network(net, jax.random.PRNGKey(0), (1, 64, 64, 6))
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.uniform(-1, 1, (1, 2, 64, 64, 3)).astype(np.float32))
-    for sd, want in (("float32", jnp.float32), ("bfloat16", jnp.bfloat16)):
-        cfg = EngineConfig(
-            model_patch_depth=2, patch_depth=5, net_impl="fused",
-            no_warp=True, state_dtype=sd,
-        )
-        _, st = inference_step(cfg, net, params, None, frames, None)
-        assert st.lastden.dtype == want, (sd, st.lastden.dtype)
+    # one fused interpret run pins the kernel-emitted buffer dtype for the
+    # production default; the bfloat16 resolution is pure python — assert
+    # it via the dtype resolver instead of a second 50s interpret run
+    cfg = EngineConfig(
+        model_patch_depth=2, patch_depth=5, net_impl="fused",
+        no_warp=True, state_dtype="float32",
+    )
+    _, st = inference_step(cfg, net, params, None, frames, None)
+    assert st.lastden.dtype == jnp.float32, st.lastden.dtype
+    from rvdd_tpu.recurrent.engine import _fused_state_dtype
+
+    cfg_bf = EngineConfig(
+        model_patch_depth=2, patch_depth=5, net_impl="fused",
+        no_warp=True, state_dtype="bfloat16",
+    )
+    assert _fused_state_dtype(cfg_bf) == jnp.bfloat16
 
 
 @pytest.mark.slow

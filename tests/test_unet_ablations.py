@@ -106,7 +106,7 @@ def test_batch_norm_matches_torch_and_trains():
 
     x = jnp.asarray(np.random.default_rng(2).standard_normal((2, 16, 16, 6)),
                     jnp.float32)
-    y, _ = net.apply({"params": params}, x, None)
+    y, _ = jax.jit(lambda p, x: net.apply({"params": p}, x, None))(params, x)
     assert y.shape == (2, 16, 16, 3)
     assert np.isfinite(np.asarray(y)).all()
 
@@ -115,7 +115,7 @@ def test_batch_norm_matches_torch_and_trains():
         out, _ = net.apply({"params": p}, x, None)
         return jnp.mean(out**2)
 
-    g = jax.grad(loss)(params)
+    g = jax.jit(jax.grad(loss))(params)
     gmax = max(
         float(jnp.max(jnp.abs(v)))
         for p, v in jax.tree_util.tree_leaves_with_path(g)
@@ -158,7 +158,7 @@ def test_reinit_covers_transposed_conv_leaves():
         "convunet-mode=fixedfeatures-upsampling_mode=transposedconv4-filters=8-depth=2",
         6, 3, False,
     )
-    params = init_network(net, jax.random.PRNGKey(0), (1, 16, 16, 6),
+    params = init_network(net, jax.random.PRNGKey(0), (1, 8, 8, 6),
                           init_type="normal")
     flat = {
         "/".join(str(getattr(p, "key", p)) for p in path): np.asarray(v)

@@ -18,19 +18,15 @@ from rvdd_tpu.ops.pallas.convnext_pallas import fused_convnext_chain
 F = 48
 
 
-def timeit(fn, *args, iters=20, warmup=2):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.tree_util.tree_map(
-        lambda a: float(jnp.sum(a.ravel()[:2].astype(jnp.float32))), out
-    )
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.tree_util.tree_map(
-        lambda a: float(jnp.sum(a.ravel()[:2].astype(jnp.float32))), out
-    )
-    return (time.perf_counter() - t0) / iters
+def timeit(fn, *args, iters=8, warmup=0):
+    # differential in-jit timing (tools/_timing.py): cancels the relay's
+    # ~40 ms fetch constant and its memoization of identical dispatches
+    import os, sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from _timing import chained_timeit
+
+    return chained_timeit(fn, *args, iters=iters)
 
 
 def mkblock(rng, cin, proj):

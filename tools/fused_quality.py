@@ -34,7 +34,8 @@ VARIANTS = {
 
 
 def build_opt(variant: str, iso: int, dataroot: str, workdir: str, net_impl: str,
-              fused_precision: str = "fast"):
+              fused_precision: str = "fast", warp_impl: str = "auto",
+              exact_glue: bool = False):
     from rvdd_tpu.config import Options
 
     v = VARIANTS[variant]
@@ -53,7 +54,8 @@ def build_opt(variant: str, iso: int, dataroot: str, workdir: str, net_impl: str
         suffix=f"fq-{variant}-{iso}",
         path2epoch=f"/root/reference/trained-nets/{variant}-iso{iso}",
         net_impl=net_impl,
-        exact_precision=(net_impl == "xla"),
+        warp_impl=warp_impl,
+        exact_precision=(net_impl == "xla" or exact_glue),
     )
     opt.isTrain = False
     return opt.finalize()
@@ -113,6 +115,14 @@ def main():
     ap.add_argument("--fused_precision", default="fast",
                     choices=["auto", "fast", "mixed", "accurate", "wsplit",
                              "wf32"])
+    ap.add_argument("--exact_glue", action="store_true",
+                    help="run the fused pipeline's XLA glue (demosaic, flow "
+                    "upsample, middle) at HIGHEST matmul precision — "
+                    "attribution knob for TPU DEFAULT-precision fp32 convs")
+    ap.add_argument("--warp_impl", default="auto",
+                    choices=["auto", "xla", "pallas"],
+                    help="fused-path state-warp engine (xla = quality "
+                    "attribution: isolates the Pallas warp kernel)")
     ap.add_argument("--interpret", action="store_true",
                     help="run Pallas kernels in interpret mode (CPU)")
     ap.add_argument("--emulate_bf16", action="store_true",
@@ -149,7 +159,7 @@ def main():
             exact = cache[key]
             opt = build_opt(
                 variant, iso, dataroot, args.workdir, "fused",
-                args.fused_precision,
+                args.fused_precision, args.warp_impl, args.exact_glue,
             )
             fused, dt = run_one(opt)
             delta = fused - exact
