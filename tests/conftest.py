@@ -33,6 +33,15 @@ jax.config.update("jax_platforms", "cpu")
 # is reduced-precision (bf16-class) accumulation.
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# XLA:CPU compiles dominate suite runtime on this 1-core host (the four
+# biggest fast tests are ~120s of pure compile); persist them across runs
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("RVDD_TEST_CACHE", "/tmp/rvdd_test_xla_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+
 GOLDEN_DIR = pathlib.Path(__file__).parent / "golden"
 
 
