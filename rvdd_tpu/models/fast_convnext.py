@@ -244,11 +244,14 @@ def _middle8_cnx_body(net, params_mid, d2, precision):
 # default: 'mxu' = im2col dense dot over a 49-plane shifted stack;
 # 'mxu2' = dy-contraction dot over a 7x smaller unshifted stack + dx
 # rotate-adds (same MACs, ~7x less stack-build traffic).
-DW_KNOBS = dict(dw_impl="mxu", dw_group=16)
+# Round-4 HW sweep (tools/cnx_chain_bench.py --sweep3, differential
+# timing): the 2-block full-res chain measures 5.96 ms with
+# mxu2/rows=12/group=8 vs 9.28 ms with the old mxu/rows=8/group=16.
+DW_KNOBS = dict(dw_impl="mxu2", dw_rows=12, dw_group=8)
 
 
 def _chain(ch, x, aux, h, w, interpret, aux_channels=None, upsample=False,
-           tile_h=0, prec=None, combine=None):
+           tile_h=0, prec=None, combine=None, out_dtype=None):
     prec = prec or FUSED_PRECISIONS["fast"]
     return fused_convnext_chain(
         x,
@@ -264,7 +267,7 @@ def _chain(ch, x, aux, h, w, interpret, aux_channels=None, upsample=False,
         aux_channels=aux_channels,
         upsample_input=upsample,
         tile_h=tile_h,
-        out_dtype=prec["band_dtype"],
+        out_dtype=out_dtype or prec["band_dtype"],
         band_dtype=prec["band_dtype"],
         # the ConvNeXt kernel has no manual bf16_3x path (the conv-chain
         # kernel's 'high'); ride Mosaic's HIGHEST instead — this kernel
@@ -334,15 +337,17 @@ def fast_forward_planar_cnx(
         )
 
         cf = 56 if net.feature_rec else 8
-        prec_state = prec
-        if state_dtype == jnp.float32 and prec["band_dtype"] != jnp.float32:
-            # fp32 recurrence carry: run the state-emitting chain with fp32
-            # bands/out so no bf16 carry rounding feeds back (drift)
-            prec_state = dict(prec, band_dtype=jnp.float32)
+        # fp32 recurrence carry: the kernel dual-writes the state buffer
+        # from the f32 block output/tail accumulator, so only the output
+        # dtype changes — bands stay in the preset's storage.  (The old
+        # approach flipped the whole 5-block chain to fp32 bands, which
+        # at 1080p exceeded every feasible VMEM row tile and fell back to
+        # a single 1080-row tile that cannot compile.)
         (state3,) = _chain(
             ch["dec2"], dec1_lanes, skip0, h, w, interpret,
-            aux_channels=None, upsample=True, prec=prec_state,
+            aux_channels=None, upsample=True, prec=prec,
             combine=(cf, STATE_PAD_LEFT, wl + STATE_LANE_EXTRA),
+            out_dtype=state_dtype,
         )
         return state3, None
     feat_p, out = _chain(

@@ -303,6 +303,23 @@ def _cnx_kernel(
         else:
             src_band = band_in
 
+        # recurrence-state feat emit: dual-write the block output straight
+        # from the f32 value BEFORE the band cast (bf16 carry rounding
+        # feeds back through the recurrence; band rounding does not) —
+        # mirrors conv_pallas's combined emit.  This also keeps the fp32
+        # carry VMEM-free: the old approach ran the whole chain with fp32
+        # bands, which at 1080p exceeded every feasible row tile.
+        dual_state = (b in emit) and combine is not None and combine[0] > 8
+
+        def state_write(y, r, *, h_out=h_out):
+            rr = r - h_out  # row within the tile's state block
+
+            @pl.when((rr >= 0) & (rr < th))
+            def _():
+                out_refs[0][
+                    pl.ds(rr, 1), 8 : 8 + F, combine[1] : combine[1] + wl
+                ] = y[None].astype(out_refs[0].dtype)
+
         def finish_row(acc, r, *, src_band=src_band, ln_g=ln_g, ln_b=ln_b,
                        pw1=pw1, pw1_b=pw1_b, pw2=pw2, pw2_b=pw2_b, ls=ls,
                        h_out=h_out, out_band=out_band):
@@ -336,6 +353,8 @@ def _cnx_kernel(
             out_band[pl.ds(pl.multiple_of(r * F, 8), F), :] = y.astype(
                 band_dtype
             )
+            if dual_state:
+                state_write(y, r)
 
         if dw_mxu:
             # depthwise 7x7 as an im2col MXU dot: build a dy-major stack of
@@ -533,6 +552,8 @@ def _cnx_kernel(
                     out_band[pl.ds(pl.multiple_of(r * F, 8), F), :] = (
                         y.astype(band_dtype)
                     )
+                    if dual_state:
+                        state_write(y, r)
                 return carry
 
             jax.lax.fori_loop(0, n_groups, block_group, 0)
@@ -562,16 +583,9 @@ def _cnx_kernel(
             jax.lax.fori_loop(0, rows_out, block_row, 0)
 
         if b in emit and combine:
-            # recurrence-state emit: the feature block lands at channel 8
-            # of the [th, total_c, lane_total] state buffer (after
-            # [den 3 | pad 5]); margins are edge-replicated at the end
-            if combine[0] > 8:
-                src3 = out_band[h_out * F : (h_out + th) * F, :].reshape(
-                    th, F, wl
-                )
-                out_refs[0][
-                    :, 8 : 8 + F, combine[1] : combine[1] + wl
-                ] = src3.astype(out_refs[0].dtype)
+            # recurrence-state feat emit handled row-wise by state_write
+            # (dual-written from the f32 block output before the band cast)
+            pass
         elif b in emit:
             out_refs[emit_idx][:, :] = out_band[
                 h_out * F : (h_out + th) * F, :
@@ -725,7 +739,10 @@ def fused_convnext_chain(
             elif dw_impl == "mxu2":
                 bands += (rows + ksize - 1) * F  # unshifted stack
             outs = 2 * t * (F * len(emit) + sum(tail_couts))
-            vm = (bands + outs) * wl * jnp.dtype(band_dtype).itemsize
+            vm = (
+                bands * jnp.dtype(band_dtype).itemsize
+                + outs * jnp.dtype(out_dtype).itemsize
+            ) * wl
             if dw_impl in ("mxu", "mxu2"):
                 vm += (3 * F + 4 * F) * rows * wl * 4  # f32 intermediates
             return vm
@@ -741,12 +758,26 @@ def fused_convnext_chain(
                 cost = bandrows / t * rowcost.get(rows, 1.0)
                 if best is None or cost < best[0]:
                     best = (cost, t, rows)
+        import os as _os
+
+        if best is None and _os.environ.get("RVDD_DEBUG_TILER"):
+            for t in (72, 60, 54, 48, 40, 36, 32, 30, 24, 20, 18, 16, 12, 8):
+                print(f"[tiler-cand] t={t} div={h_img % t == 0} "
+                      f"gt_halo={t > halos[0]} est2={est(t, 2) / 1e6:.0f}MB")
         if best is None:
             tile_h, dw_rows = h_img, 2
         else:
             _, tile_h, dw_rows = best
             if dw_impl not in ("mxu", "mxu2"):
                 dw_rows = 1
+        if _os.environ.get("RVDD_DEBUG_TILER"):
+            print(
+                f"[tiler] h={h_img} w={w_img} nb={nb} cx={cx} emit={emit} "
+                f"combine={combine is not None} ups={upsample_input} "
+                f"aux_c={aux_c} tails={len(tail_couts)} halo0={halos[0]} "
+                f"-> tile_h={tile_h} dw_rows={dw_rows} "
+                f"est={est(tile_h, dw_rows) / 1e6 if auto_tile else -1:.0f}MB"
+            )
     assert h_img % tile_h == 0 and tile_h > halos[0]
     n_tiles = h_img // tile_h
 
