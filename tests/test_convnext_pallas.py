@@ -66,8 +66,8 @@ def test_single_block_no_proj():
 # subset; the alternates are ablation knobs
 @pytest.mark.parametrize(
     "dw_impl,dw_group,ln_impl",
-    [("mxu", 16, "vpu"),
-     ("mxu2", 16, "vpu"),
+    [("mxu2", 16, "vpu"),
+     pytest.param("mxu", 16, "vpu", marks=pytest.mark.slow),
      pytest.param("mxu", 48, "vpu", marks=pytest.mark.slow),
      pytest.param("mxu2", 48, "vpu", marks=pytest.mark.slow),
      pytest.param("mxu", 16, "mxu", marks=pytest.mark.slow),
