@@ -105,7 +105,15 @@ def main():
 
     setup_compilation_cache("~/.cache/rvdd_tpu/xla")
 
-    if args.exact:
+    # fp32 XLA-net modes: --exact, and the flagship's 'accurate' preset —
+    # fp32 fused bands cannot tile the 5-block 7x7 dec2 chain at 1080p
+    # (the [H*48, WL] f32 scratch exceeds VMEM for every feasible row
+    # tile; fast_convnext.py:340-345), so the flagship's accurate path IS
+    # the fp32 XLA net, numerically identical to --exact.
+    xla_net = args.exact or (
+        args.precision == "accurate" and args.model.startswith("convnext")
+    )
+    if xla_net:
         from rvdd_tpu.precision import use_exact_precision
 
         use_exact_precision()
@@ -137,12 +145,17 @@ def main():
             FUSED_PRECISIONS["fast"], weight_dtype=None)
     cfg = EngineConfig(
         model_patch_depth=2, patch_depth=2 + fd, future_patch_depth=fd,
-        feature_rec=feat, warp_impl="xla" if args.exact else "pallas",
+        # Pallas warp in every inference mode, including --exact: the
+        # validate CLI resolves warp_impl to 'pallas' on TPU
+        # (config.resolve_warp_impl), so the 20-cell parity matrix was
+        # measured with it — the XLA per-pixel-gather warp (~2 s per
+        # 48-ch 1080p warp) is not any protocol's configuration
+        feature_rec=feat, warp_impl="pallas",
         # fp32 recurrence carry is the production default (Options.state_dtype
         # and the PARITY/BENCH quality rows are measured with it); the bench
         # must run the same numerics it pairs fps with
         state_dtype=args.state_dtype,
-        net_impl="xla" if args.exact else "fused",
+        net_impl="xla" if xla_net else "fused",
         fused_precision=precision,
     )
     if args.train:
@@ -161,6 +174,9 @@ def main():
         cfg_t = EngineConfig(
             model_patch_depth=2, patch_depth=td + 1, future_patch_depth=fd,
             feature_rec=feat, warp_impl="xla", net_impl="xla",
+            # the flagship's 4-unrolling backward OOMs 16 GB HBM without
+            # per-unrolling rematerialization (exact grads either way)
+            remat=args.model.startswith("convnext"),
         )
         net_t = build_network(arch, cfg_t.network_input_nc, 3, feat)
         params_t = init_network(
@@ -180,14 +196,17 @@ def main():
             rng.uniform(-1, 1, (B, t_frames, 2 * pw, 2 * pw, 3)).astype(np.float32))
         weights = jnp.full((td,), 1.0 / td, jnp.float32)
 
+        # a data fetch is the only reliable completion barrier on this
+        # relay (block_until_ready returns at dispatch, ~10x optimistic)
+        fetch = lambda ls: float(jax.tree_util.tree_leaves(ls)[0])
         state, losses = train_step(state, frames, flows, gt, weights)  # compile
-        jax.block_until_ready(losses)
+        fetch(losses)
         state, losses = train_step(state, frames, flows, gt, weights)  # warm
-        jax.block_until_ready(losses)
+        fetch(losses)
         t0 = time.perf_counter()
         for _ in range(args.frames):
             state, losses = train_step(state, frames, flows, gt, weights)
-        jax.block_until_ready(losses)
+        fetch(losses)
         dt = time.perf_counter() - t0
         sps = args.frames * B / dt
         print(
@@ -201,9 +220,9 @@ def main():
         )
         return
 
-    net_dtype = None if args.exact else jnp.bfloat16
+    net_dtype = None if xla_net else jnp.bfloat16
     kw = {}
-    if "newunet" in arch and not args.exact:
+    if "newunet" in arch and not xla_net:
         kw["fast_act"] = True
     net = build_network(arch, cfg.network_input_nc, 3, feat, dtype=net_dtype, **kw)
     h, w = args.height, args.width

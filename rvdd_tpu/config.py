@@ -66,6 +66,10 @@ class Options:
     # compute TV-L1 on device inside the inference step instead of the
     # disk cache (self-contained streaming; the reference has no analogue)
     online_flow: bool = False
+    # --online_flow solver preset: 'default' (the C library's parameters,
+    # 5 warps / <=300 iters) or 'fast' (2 warps / <=75 iters — the
+    # bench.py --fast_flow preset; PSNR delta measured in BENCH.md)
+    flow_preset: str = "default"
 
     # training
     niter: int = 70
@@ -83,6 +87,10 @@ class Options:
     path2epoch: str = ""
     epoch: str = "latest_val"
     seed: int = 0
+    # rematerialize each unrolling in the training backward (exact grads,
+    # O(net) instead of O(unrollings*net) activation memory; needed for
+    # the ConvNeXt flagship's production config on a 16 GB chip)
+    remat: bool = False
 
     # validation
     val_epoch_freq: int = 1
@@ -157,6 +165,7 @@ class Options:
             net_impl=self.net_impl,
             state_dtype=self.state_dtype,
             fused_precision=self.resolve_fused_precision(),
+            remat=self.remat,
         )
 
     def resolve_fused_precision(self) -> str:

@@ -67,6 +67,13 @@ class EngineConfig:
     #: concrete preset name here; 'auto' is resolved by the Options layer
     #: (config.resolve_fused_precision / fast_unet.resolve_fused_precision).
     fused_precision: str = "fast"
+    #: rematerialize each unrolling in the training backward
+    #: (jax.checkpoint around `step`): exact same gradients, activation
+    #: memory drops from O(unrollings * net) to O(net) at ~1 extra
+    #: forward per unrolling.  Required for the ConvNeXt flagship's
+    #: production train config on a 16 GB chip (the 4-unrolling backward
+    #: holds ~4x24 block activations otherwise).
+    remat: bool = False
 
     @property
     def d(self) -> int:  # number of previous frames fed to the net
@@ -477,6 +484,12 @@ def unrolled_forward(
     d = cfg.d
     state = init_state(cfg, frames, nil_feat)
     packed = fused_pack(cfg, net, params) if cfg.net_impl == "fused" else None
+    if cfg.remat:
+        step_fn = jax.checkpoint(
+            lambda params, state, cur, future, fl: step(
+                cfg, net, params, state, cur, future, fl, packed
+            )
+        )
     outs = []
     for a in range(unrollings):
         cur = frames[:, a + d]
@@ -486,7 +499,10 @@ def unrolled_forward(
             else None
         )
         fl = flows[:, a] if flows is not None else None
-        den, state = step(cfg, net, params, state, cur, future, fl, packed)
+        if cfg.remat:
+            den, state = step_fn(params, state, cur, future, fl)
+        else:
+            den, state = step(cfg, net, params, state, cur, future, fl, packed)
         outs.append(den)
     return jnp.stack(outs, axis=1)
 

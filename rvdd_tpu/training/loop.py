@@ -90,10 +90,13 @@ def build_validation(opt: Options) -> InferenceDataset:
 from functools import partial
 
 
-@partial(jax.jit, static_argnames=("cfg", "net", "online_flow", "padded"))
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "net", "online_flow", "flow_preset", "padded"),
+)
 def _val_step(
     params, state_or_none, frames, flows, gt_last, valid_hw,
-    *, cfg, net, online_flow, padded=False,
+    *, cfg, net, online_flow, flow_preset="default", padded=False,
 ):
     """One validation step.  Module-level + static (cfg, net) so the jit
     cache survives across compute_validation calls — the per-epoch
@@ -105,9 +108,15 @@ def _val_step(
     to the valid region.
     """
     if online_flow and not cfg.no_warp:
+        from rvdd_tpu.ops.tvl1 import TVL1Params
         from rvdd_tpu.recurrent.engine import compute_window_flows
 
-        flows = compute_window_flows(cfg, frames)[:, None]
+        fp = (
+            TVL1Params(nwarps=2, max_iterations=75)
+            if flow_preset == "fast"
+            else None
+        )
+        flows = compute_window_flows(cfg, frames, fp)[:, None]
     frames2, flows2 = prepare_frames(cfg, frames, flows)
     fl = flows2[:, 0] if flows2 is not None else None
     nil = (
@@ -189,7 +198,7 @@ def compute_validation(
         return _val_step(
             params, state_or_none, frames, flows, gt_last, valid_hw,
             cfg=cfg, net=net, online_flow=opt.online_flow,
-            padded=bool(pad_multiple),
+            flow_preset=opt.flow_preset, padded=bool(pad_multiple),
         )
 
     def flow_from_prev(prev_den, cur_noisy_raw):

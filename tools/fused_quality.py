@@ -35,11 +35,14 @@ VARIANTS = {
 
 def build_opt(variant: str, iso: int, dataroot: str, workdir: str, net_impl: str,
               fused_precision: str = "fast", warp_impl: str = "auto",
-              exact_glue: bool = False):
+              exact_glue: bool = False, online_flow: bool = False,
+              flow_preset: str = "default"):
     from rvdd_tpu.config import Options
 
     v = VARIANTS[variant]
     opt = Options(
+        online_flow=online_flow,
+        flow_preset=flow_preset,
         fused_precision=fused_precision,
         netDenoiser=v["net"],
         feature_rec=v["feat"],
@@ -123,6 +126,15 @@ def main():
                     choices=["auto", "xla", "pallas"],
                     help="fused-path state-warp engine (xla = quality "
                     "attribution: isolates the Pallas warp kernel)")
+    ap.add_argument("--online_flow", action="store_true",
+                    help="fused run computes TV-L1 on device inside the "
+                    "step instead of reading cached flows (the exact "
+                    "baseline keeps cached flows, so the delta isolates "
+                    "the online/preset flow quality)")
+    ap.add_argument("--flow_preset", default="default",
+                    choices=["default", "fast"],
+                    help="--online_flow solver preset (fast = 2 warps, "
+                    "<=75 iters — bench.py --fast_flow)")
     ap.add_argument("--interpret", action="store_true",
                     help="run Pallas kernels in interpret mode (CPU)")
     ap.add_argument("--emulate_bf16", action="store_true",
@@ -160,6 +172,7 @@ def main():
             opt = build_opt(
                 variant, iso, dataroot, args.workdir, "fused",
                 args.fused_precision, args.warp_impl, args.exact_glue,
+                args.online_flow, args.flow_preset,
             )
             fused, dt = run_one(opt)
             delta = fused - exact
