@@ -159,10 +159,10 @@ def main():
         fused_precision=precision,
     )
     if args.train:
-        # production training config: XLA path (the fused kernels are
-        # inference-only), XLA warp (the Pallas warp is forward-only,
-        # loop.py trains with warp_impl='xla'), fp32-exact convs
-        # (Options.exact_precision default)
+        # production training config: XLA net (the fused kernels are
+        # inference-only), shift warp (what loop.py resolves to on TPU —
+        # the XLA warp's scatter backward measures 67 s/step), fp32-exact
+        # convs (Options.exact_precision default)
         from rvdd_tpu.precision import use_exact_precision
         from rvdd_tpu.training.train_state import (
             create_train_state, make_train_step, set_learning_rate,
@@ -171,9 +171,10 @@ def main():
         use_exact_precision()
         td = args.train_unrollings
         pw = args.train_patch
+        train_warp = "shift" if jax.default_backend() != "cpu" else "xla"
         cfg_t = EngineConfig(
             model_patch_depth=2, patch_depth=td + 1, future_patch_depth=fd,
-            feature_rec=feat, warp_impl="xla", net_impl="xla",
+            feature_rec=feat, warp_impl=train_warp, net_impl="xla",
             # the flagship's 4-unrolling backward OOMs 16 GB HBM without
             # per-unrolling rematerialization (exact grads either way)
             remat=args.model.startswith("convnext"),

@@ -185,6 +185,22 @@ class Options:
 
         return "pallas" if jax.default_backend() not in ("cpu",) else "xla"
 
+    def resolve_train_warp_impl(self) -> str:
+        """Warp impl for the differentiable training path.
+
+        The Pallas kernel is forward-only, and the generic XLA warp's
+        backward is a per-pixel 4x4-block scatter-add that XLA:TPU
+        serializes (measured 67 s/step in the production config).  On
+        TPU, training uses the displacement-banded 'shift' warp
+        (ops/warp_shift.py): same grid_sample numerics, scatter-free
+        transpose.  On CPU the flat-gather XLA path is exact and fast.
+        """
+        if self.warp_impl in ("xla", "shift"):
+            return self.warp_impl
+        import jax
+
+        return "shift" if jax.default_backend() not in ("cpu",) else "xla"
+
     def gt_folder_for_mode(self) -> str:
         return self.gtFolder if self.raw_gt else self.gt_linear_RGB_Folder
 

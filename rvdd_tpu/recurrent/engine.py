@@ -51,8 +51,10 @@ class EngineConfig:
     feature_rec: bool = False
     raw_gt: bool = False
     lambda_l1: float = 100.0
-    #: 'xla' (differentiable, any backend) or 'pallas' (TPU inference
-    #: kernel, ~x3-50 faster at full-frame sizes)
+    #: 'xla' (differentiable, any backend), 'shift' (differentiable,
+    #: displacement-banded — the TPU training path: the XLA warp's
+    #: backward is a per-pixel scatter that XLA:TPU serializes), or
+    #: 'pallas' (TPU inference kernel, ~x3-50 faster at full-frame sizes)
     warp_impl: str = "xla"
     #: dtype of the carried recurrence state ('float32' | 'bfloat16');
     #: bfloat16 halves warp traffic in the fast inference mode
@@ -141,6 +143,11 @@ def _warp(cfg: EngineConfig, x: jnp.ndarray, flow: jnp.ndarray):
         from rvdd_tpu.ops.pallas.warp_pallas import warp_bicubic_pallas
 
         return warp_bicubic_pallas(x, flow)[0]
+    if cfg.warp_impl == "shift":
+        # training path on TPU: same numerics, scatter-free backward
+        from rvdd_tpu.ops.warp_shift import warp_shift
+
+        return warp_shift(x, flow)[0]
     return warp(x, flow, "bicubic")[0]
 
 

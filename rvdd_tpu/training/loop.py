@@ -397,10 +397,14 @@ def train(opt: Options) -> None:
 
     setup_compilation_cache(opt.compilation_cache_dir)
 
-    # training differentiates through the warp -> force the XLA path
+    # training differentiates through the warp -> pick a differentiable
+    # impl ('shift' on TPU, 'xla' on CPU; never the forward-only Pallas
+    # kernel the inference side resolves to)
     import dataclasses as _dc
 
-    cfg = _dc.replace(opt.engine_config(), warp_impl="xla")
+    cfg = _dc.replace(
+        opt.engine_config(), warp_impl=opt.resolve_train_warp_impl()
+    )
     save_dir = opt.save_dir
     log = Logger(save_dir)
     opt.save(join(save_dir, "opt_train.json"))
