@@ -43,6 +43,12 @@ def main():
                     help="--train mode raw patch width (Options default)")
     ap.add_argument("--train_unrollings", type=int, default=4,
                     help="--train mode unrollings (patch_depth 5 default)")
+    ap.add_argument("--train_precision", default="highest",
+                    choices=["highest", "high", "default"],
+                    help="--train matmul precision (highest = fp32-exact; "
+                    "high = 3-pass bf16, the reference's TF32 class)")
+    ap.add_argument("--train_radius", type=int, default=8,
+                    help="--train shift-warp residual radius")
     ap.add_argument("--trace_dir", default=None,
                     help="capture a 5-step jax.profiler device trace here")
     ap.add_argument("--dw_impl", default=None, choices=["mxu", "mxu2", "vpu"],
@@ -168,13 +174,19 @@ def main():
             create_train_state, make_train_step, set_learning_rate,
         )
 
-        use_exact_precision()
+        if args.train_precision == "highest":
+            use_exact_precision()
+        else:
+            jax.config.update(
+                "jax_default_matmul_precision", args.train_precision
+            )
         td = args.train_unrollings
         pw = args.train_patch
         train_warp = "shift" if jax.default_backend() != "cpu" else "xla"
         cfg_t = EngineConfig(
             model_patch_depth=2, patch_depth=td + 1, future_patch_depth=fd,
             feature_rec=feat, warp_impl=train_warp, net_impl="xla",
+            shift_warp_radius=args.train_radius,
             # the flagship's 4-unrolling backward OOMs 16 GB HBM without
             # per-unrolling rematerialization (exact grads either way)
             remat=args.model.startswith("convnext"),

@@ -109,6 +109,15 @@ class Options:
     # TPU-specific
     mesh_shape: str = "data"  # data-parallel over all devices
     exact_precision: bool = True  # fp32-exact convs (parity); False = bf16 MXU
+    #: training matmul precision: 'highest' (fp32-exact, 6-pass MXU — the
+    #: default, strictest), 'high' (3-pass bf16 decomposition — the
+    #: TF32-accumulation class the reference trains under on Ampere), or
+    #: 'default' (1-pass bf16).  Applies to the train step (and in-loop
+    #: validation); the validate CLI stays exact regardless.
+    train_matmul_precision: str = "highest"
+    #: residual radius of the training shift warp's banded sweep (see
+    #: EngineConfig.shift_warp_radius)
+    shift_warp_radius: int = 8
     warp_impl: str = "auto"  # auto | xla | pallas (inference warping)
     #: 'xla' (exact, any backend) | 'fused' (TPU fast inference: planar
     #: Pallas step; see BENCH.md for measured speed/PSNR per precision)
@@ -163,6 +172,7 @@ class Options:
             lambda_l1=self.lambda_L1,
             warp_impl=self.resolve_warp_impl(),
             net_impl=self.net_impl,
+            shift_warp_radius=self.shift_warp_radius,
             state_dtype=self.state_dtype,
             fused_precision=self.resolve_fused_precision(),
             remat=self.remat,

@@ -27,7 +27,7 @@ masks.  Performance structure:
 Semantics match rvdd_tpu.ops.warp.warp(..., 'bicubic') (torch grid_sample,
 border padding, align_corners=True) for displacements up to ``max_disp``;
 larger displacements are clamped (the reference masks those pixels as
-invalid anyway).  Forward-only: training uses the XLA path (patch-sized
+invalid anyway).  Forward-only: training uses the shift warp (ops/warp_shift.py; patch-sized
 inputs, differentiable).
 """
 

@@ -69,6 +69,11 @@ class EngineConfig:
     #: concrete preset name here; 'auto' is resolved by the Options layer
     #: (config.resolve_fused_precision / fast_unet.resolve_fused_precision).
     fused_precision: str = "fast"
+    #: residual radius of the 'shift' warp's banded sweep (pixels each
+    #: side of the band/global mean; taps beyond it clamp to the window
+    #: edge).  8 is conservative for TV-L1 video flows; 5 trades ~2x less
+    #: warp work for clamping only on pathological fields.
+    shift_warp_radius: int = 8
     #: rematerialize each unrolling in the training backward
     #: (jax.checkpoint around `step`): exact same gradients, activation
     #: memory drops from O(unrollings * net) to O(net) at ~1 extra
@@ -147,7 +152,8 @@ def _warp(cfg: EngineConfig, x: jnp.ndarray, flow: jnp.ndarray):
         # training path on TPU: same numerics, scatter-free backward
         from rvdd_tpu.ops.warp_shift import warp_shift
 
-        return warp_shift(x, flow)[0]
+        r = cfg.shift_warp_radius
+        return warp_shift(x, flow, radius_v=r, radius_h=r)[0]
     return warp(x, flow, "bicubic")[0]
 
 
@@ -282,7 +288,7 @@ def step(
         cfg.feature_rec
         and not cfg.no_warp
         and not cfg.warp_raw
-        and cfg.warp_impl == "pallas"
+        and cfg.warp_impl in ("pallas", "shift")
     )
     for b in range(d):
         fl = flows[:, b] if flows is not None else None

@@ -392,6 +392,14 @@ def train(opt: Options) -> None:
         from rvdd_tpu.precision import use_exact_precision
 
         use_exact_precision()
+    if opt.train_matmul_precision != "highest":
+        # 'high' = 3-pass bf16 decomposition, the TF32-accumulation class
+        # the reference trains under on Ampere GPUs; 'default' = 1-pass
+        # bf16.  Process-wide (covers in-loop validation too); the
+        # validate CLI is a separate process and stays exact.
+        jax.config.update(
+            "jax_default_matmul_precision", opt.train_matmul_precision
+        )
 
     from rvdd_tpu.config import setup_compilation_cache
 

@@ -5,6 +5,7 @@ identical gradients to the non-remat graph.  (The flagship ConvNeXt
 it for convnext models.)"""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -30,6 +31,7 @@ def _loss_fn(cfg, net, params, raw, flows, gt, weights):
     return compute_losses(cfg, outs, gt, weights)["Denoiser"]
 
 
+@pytest.mark.slow  # two full unrolled-grad compiles (~30 s on this host)
 def test_remat_grads_identical():
     base = EngineConfig(
         model_patch_depth=2, patch_depth=4, future_patch_depth=1,

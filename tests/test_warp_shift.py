@@ -48,6 +48,18 @@ def test_forward_matches_banded_tall():
 
 
 @pytest.mark.slow
+def test_radius_knob_still_exact_within_budget():
+    """shift_warp_radius=5 (the fast training knob) stays exact while the
+    per-pixel residual fits the halved sweep."""
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(1, 24, 26, 3)).astype(np.float32))
+    flow = _smooth_flow(rng, 1, 24, 26, base_range=10.0, local=0.8)
+    ref, _ = warp(x, flow, "bicubic")
+    got, _ = warp_shift(x, flow, radius_v=5, radius_h=5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
+
+@pytest.mark.slow
 def test_gradient_matches_exact_warp():
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.normal(size=(1, 24, 26, 5)).astype(np.float32))
