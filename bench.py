@@ -36,7 +36,7 @@ def main():
     ap.add_argument("--train", action="store_true",
                     help="benchmark the jitted train step instead of "
                     "inference (production defaults: 4 unrollings, "
-                    "136px raw patches, fp32-exact convs, XLA warp)")
+                    "136px raw patches, fp32-exact convs, shift warp)")
     ap.add_argument("--batch_size", type=int, default=2,
                     help="--train mode batch size (Options default 2)")
     ap.add_argument("--train_patch", type=int, default=136,
@@ -49,6 +49,10 @@ def main():
                     "high = 3-pass bf16, the reference's TF32 class)")
     ap.add_argument("--train_radius", type=int, default=8,
                     help="--train shift-warp residual radius")
+    ap.add_argument("--train_remat", action="store_true",
+                    help="--train: per-unrolling rematerialization (exact "
+                    "grads, O(net) activation memory — required for "
+                    "batch >= 8 on a 16 GB chip; always on for convnext)")
     ap.add_argument("--trace_dir", default=None,
                     help="capture a 5-step jax.profiler device trace here")
     ap.add_argument("--dw_impl", default=None, choices=["mxu", "mxu2", "vpu"],
@@ -189,7 +193,7 @@ def main():
             shift_warp_radius=args.train_radius,
             # the flagship's 4-unrolling backward OOMs 16 GB HBM without
             # per-unrolling rematerialization (exact grads either way)
-            remat=args.model.startswith("convnext"),
+            remat=args.train_remat or args.model.startswith("convnext"),
         )
         net_t = build_network(arch, cfg_t.network_input_nc, 3, feat)
         params_t = init_network(

@@ -47,6 +47,20 @@ def test_forward_matches_banded_tall():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
 
 
+def test_pathological_flows_stay_finite():
+    """Residuals far beyond the radius must clamp to the window edge
+    (graceful degradation, like the Pallas kernel), never NaN/inf."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(1, 24, 26, 3)).astype(np.float32))
+    flow = jnp.asarray(
+        rng.uniform(-100, 100, size=(1, 24, 26, 2)).astype(np.float32))
+    out, mask = warp_shift(x, flow)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    # values stay inside the source range (every tap weight sums to 1 over
+    # a convex-ish cubic kernel; edge folding preserves the sum)
+    assert float(jnp.abs(out).max()) <= float(jnp.abs(x).max()) * 2.5
+
+
 @pytest.mark.slow
 def test_radius_knob_still_exact_within_budget():
     """shift_warp_radius=5 (the fast training knob) stays exact while the
