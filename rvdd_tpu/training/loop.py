@@ -184,9 +184,16 @@ def compute_validation(
     val_image_dir: Optional[str] = None,
     save_visuals: bool = True,
     flow_from_denoised: bool = False,
+    carry_state: Optional[bool] = None,
 ) -> Dict[str, float]:
     """Serial full-frame validation with carried recurrence (reference:
-    validate.py:54-114).  Returns averaged losses ('<name>_valLoss')."""
+    validate.py:54-114).  Returns averaged losses ('<name>_valLoss').
+
+    ``carry_state`` overrides the recurrence-carry protocol; the in-training
+    caller passes the epoch's ``active_unrollings(...) > 1`` because the
+    reference validates NON-recurrently while the gradual schedule is still
+    in its non-recurrent phase (training_unrollings == 1 resets the
+    recurrence on every frame, recurrent_model.py:233-238)."""
     cfg = opt.engine_config()  # warp_impl resolved (pallas on TPU)
     pad_multiple = opt.val_pad_multiple
     if pad_multiple and flow_from_denoised:
@@ -208,7 +215,8 @@ def compute_validation(
     # is non-recurrent: the recurrence re-initializes from the noisy
     # previous frame on EVERY test frame (reference:
     # recurrent_model.py:233-238 via training_unrollings == 1)
-    carry_state = cfg.train_unrollings > 1
+    if carry_state is None:
+        carry_state = cfg.train_unrollings > 1
 
     totals: Dict[str, float] = {}
     count = 0
@@ -549,7 +557,13 @@ def train(opt: Options) -> None:
 
         if val_ds is not None and epoch % opt.val_epoch_freq == 0:
             v0 = time.time()
-            val_losses = compute_validation(opt, net, state.params, val_ds, val_image_dir)
+            val_losses = compute_validation(
+                opt, net, state.params, val_ds, val_image_dir,
+                # the reference validates non-recurrently while the gradual
+                # schedule still trains with 1 unrolling
+                # (recurrent_model.py:233-238,255-264)
+                carry_state=active_unrollings(opt.unroll_focus, td, epoch) > 1,
+            )
             val_losses["lr"] = lr
             msg = f"---> validation: (epoch: {epoch}, time: {time.time()-v0:.1f}, #data: {len(val_ds)}) ["
             msg += ", ".join(f"{k}: {v:.3f}" for k, v in val_losses.items()) + "]"

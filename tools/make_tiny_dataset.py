@@ -21,7 +21,10 @@ from rvdd_tpu.data.io import imwrite
 
 def synth_video(seq: int, frames: int, h: int, w: int, texture: str = "smooth"):
     rng = np.random.default_rng(seq)
-    yy, xx = np.mgrid[0 : h + 32, 0 : w + 32].astype(np.float32)
+    # pad by the full camera-motion excursion (1.5 px/frame in x, 1 px/frame
+    # in y) so late frames don't run off the texture and come out truncated
+    pad = max(32, int(1.5 * frames) + 8)
+    yy, xx = np.mgrid[0 : h + pad, 0 : w + pad].astype(np.float32)
     tex = (
         110
         + 70 * np.sin(xx / (6 + seq)) * np.cos(yy / (8 + seq))
@@ -37,7 +40,7 @@ def synth_video(seq: int, frames: int, h: int, w: int, texture: str = "smooth"):
         # from ~50 dB (smooth scenes) to the REDS-like ~37-42 dB regime
         from scipy.ndimage import gaussian_filter
 
-        hp, wp = h + 32, w + 32
+        hp, wp = h + pad, w + pad
         detail = np.zeros((hp, wp), np.float32)
         for sigma, amp in ((1.0, 28.0), (2.5, 22.0), (6.0, 18.0), (14.0, 14.0)):
             n = rng.standard_normal((hp, wp)).astype(np.float32)
