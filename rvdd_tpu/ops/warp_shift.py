@@ -143,6 +143,79 @@ def _warp_shift_one(
     return acc.reshape(h, w, c)
 
 
+def _clamp_fraction_one(
+    flow: jnp.ndarray,  # [H, W, 2]
+    radius_v: int,
+    radius_h: int,
+    max_base: int,
+    band_rows: int,
+):
+    """Fraction of pixels with at least one nonzero-weight bicubic tap that
+    the banded sweep would clamp to the window edge (telemetry for the
+    training path's approximation envelope; mirrors the index math of
+    ``_warp_shift_one`` exactly)."""
+    h, w = flow.shape[0], flow.shape[1]
+    u = flow[..., 0].astype(jnp.float32)
+    v = flow[..., 1].astype(jnp.float32)
+
+    rb = min(band_rows, h)
+    while h % rb:
+        rb -= 1
+    nb = h // rb
+    rows_win = min(rb + 2 * radius_v + 4, h)
+    nh = 2 * radius_h + 4
+
+    vb = jnp.round(jnp.mean(v.reshape(nb, -1), axis=1))
+    vb = jnp.clip(vb, -max_base, max_base).astype(jnp.int32)
+    band0 = jnp.arange(nb, dtype=jnp.int32) * rb
+    win_start = jnp.clip(band0 + vb - (radius_v + 1), 0, h - rows_win)
+    ws_row = jnp.repeat(win_start, rb)[:, None]
+
+    rows = jnp.arange(h, dtype=jnp.float32)[:, None]
+    gy = rows + v
+    iy = jnp.floor(gy)
+    wy = cubic_kernel(gy - iy)
+    iy = iy.astype(jnp.int32)
+    v_clamped = jnp.zeros((h, w), bool)
+    for k in range(4):
+        rel = jnp.clip(iy - 1 + k, 0, h - 1) - ws_row
+        out = (rel < 0) | (rel > rows_win - 1)
+        v_clamped |= out & (wy[k] != 0.0)
+
+    qx = jnp.clip(jnp.round(jnp.mean(u)), -max_base, max_base).astype(jnp.int32)
+    cols = jnp.arange(w, dtype=jnp.float32)[None, :]
+    gx = cols + u
+    ix = jnp.floor(gx)
+    wx = cubic_kernel(gx - ix)
+    ix = ix.astype(jnp.int32)
+    coli = jnp.arange(w, dtype=jnp.int32)[None, :]
+    h_clamped = jnp.zeros((h, w), bool)
+    for k in range(4):
+        off = jnp.clip(ix - 1 + k, 0, w - 1) - qx + radius_h + 1 - coli
+        out = (off < 0) | (off > nh - 1)
+        h_clamped |= out & (wx[k] != 0.0)
+
+    return jnp.mean((v_clamped | h_clamped).astype(jnp.float32))
+
+
+def clamp_fraction(
+    flow: jnp.ndarray,  # [..., H, W, 2] any leading batch axes
+    radius_v: int = 8,
+    radius_h: int = 8,
+    max_base: int = 48,
+    band_rows: int = 8,
+) -> jnp.ndarray:
+    """Mean fraction of pixels whose warp would be approximated (clamped)
+    by ``warp_shift`` under the given sweep geometry.  Zero for TV-L1 video
+    flows; nonzero means the training gradients are silently wrong for
+    those pixels and the radius should be raised (ops/warp_shift.py:26-31)."""
+    f2 = flow.reshape((-1,) + flow.shape[-3:])
+    fr = jax.vmap(
+        lambda f: _clamp_fraction_one(f, radius_v, radius_h, max_base, band_rows)
+    )(f2)
+    return jnp.mean(fr)
+
+
 @partial(
     jax.jit,
     static_argnames=("radius_v", "radius_h", "max_base", "band_rows"),

@@ -548,6 +548,14 @@ def train(opt: Options) -> None:
                 msg = f"(epoch: {epoch}, iters: {total_iters}, time: {t_comp:.3f}, data: {t_data:.3f}) "
                 msg += " ".join(f"{k}: {float(v):.3f}" for k, v in losses.items())
                 log.line(msg)
+                if float(losses.get("warp_clamp", 0.0)) > 0.0:
+                    log.line(
+                        f"WARNING: shift-warp clamped "
+                        f"{100 * float(losses['warp_clamp']):.2f}% of warped"
+                        " pixels this step — flows exceed the sweep radius;"
+                        " raise --shift_warp_radius or switch"
+                        " --warp_impl xla (ops/warp_shift.py:26-31)"
+                    )
             data_t0 = time.time()
 
         if epoch % opt.save_epoch_freq == 0:

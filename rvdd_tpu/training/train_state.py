@@ -172,6 +172,16 @@ def make_train_step(cfg: EngineConfig, net, tx, donate: bool = True):
         unrollings = weights.shape[0]
         outs = unrolled_forward(cfg, net, params, frames, flows, unrollings, nil_feat)
         losses = compute_losses(cfg, outs, gt, weights)
+        if cfg.warp_impl == "shift" and flows is not None and not cfg.no_warp:
+            # telemetry: fraction of pixels the banded sweep approximates
+            # (clamps).  Zero for TV-L1 flows; nonzero flags silently-wrong
+            # gradients on fast-motion data (ops/warp_shift.py:26-31).
+            from rvdd_tpu.ops.warp_shift import clamp_fraction
+
+            r = cfg.shift_warp_radius
+            losses["warp_clamp"] = jax.lax.stop_gradient(
+                clamp_fraction(flows, radius_v=r, radius_h=r)
+            )
         return losses["Denoiser"], losses
 
     def train_step(state: TrainState, raw_frames, raw_flows, gt, weights):

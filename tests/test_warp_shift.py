@@ -136,3 +136,31 @@ def test_engine_training_forward_and_grads_shift_vs_xla():
         assert pa == pb
         scale = max(float(jnp.abs(va).max()), 1e-3)
         assert float(jnp.abs(va - vb).max()) <= 1e-5 * scale, pa
+
+
+def test_clamp_fraction_telemetry():
+    """clamp_fraction is 0 exactly when the sweep is exact (TV-L1-regime
+    flows), positive on fast motion, and where it reports 0 the shift warp
+    matches the exact warp (the telemetry's 'exact' claim is sound)."""
+    from rvdd_tpu.ops.warp_shift import clamp_fraction
+
+    rng = np.random.default_rng(7)
+    h, w = 24, 26
+    x = jnp.asarray(rng.normal(size=(1, h, w, 3)).astype(np.float32))
+
+    smooth = _smooth_flow(rng, 1, h, w, base_range=6.0, local=1.5)
+    assert float(clamp_fraction(smooth)) == 0.0
+    ref, _ = warp(x, smooth, "bicubic")
+    got, _ = warp_shift(x, smooth)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
+    # fast motion: local residuals far beyond the radius
+    fast = jnp.asarray(
+        rng.uniform(-40, 40, size=(1, h, w, 2)).astype(np.float32))
+    assert float(clamp_fraction(fast)) > 0.1
+
+    # halved radius flags flows the full radius absorbs
+    mid = _smooth_flow(rng, 1, h, w, base_range=2.0, local=3.5)
+    full = float(clamp_fraction(mid, radius_v=8, radius_h=8))
+    half = float(clamp_fraction(mid, radius_v=3, radius_h=3))
+    assert half >= full
