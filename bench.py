@@ -32,7 +32,11 @@ def main():
                     help="with --with_flow: fast solver preset (2 warps, 75 iters)")
     ap.add_argument("--height", type=int, default=540)   # raw half-res
     ap.add_argument("--width", type=int, default=960)
-    ap.add_argument("--exact", action="store_true", help="fp32-exact convs")
+    ap.add_argument("--exact", action="store_true",
+                    help="fp32-exact XLA convs (the validate-CLI parity "
+                    "configuration); the warp stays the production Pallas "
+                    "kernel, matching the protocol the 20-cell parity "
+                    "matrix was measured with")
     ap.add_argument("--train", action="store_true",
                     help="benchmark the jitted train step instead of "
                     "inference (production defaults: 4 unrollings, "

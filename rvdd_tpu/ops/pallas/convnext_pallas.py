@@ -685,6 +685,16 @@ def fused_convnext_chain(
 ):
     """Run a fused chain of ConvNeXt blocks; returns one array per emit
     (+ one per tail layer)."""
+    if debug_skip:
+        # timing-attribution stubs produce garbage output by design; keep
+        # them unreachable from production call sites (tools set the env)
+        import os
+
+        assert os.environ.get("RVDD_DEBUG_SKIP"), (
+            "debug_skip is a profiling aid that skips compute stages; set "
+            "RVDD_DEBUG_SKIP=1 to acknowledge (tools/cnx_chain_bench.py "
+            "--attrib does)"
+        )
     nb = len(blocks)
     emit = tuple(emit) if emit else (nb - 1,)
     wl = x.shape[-1]

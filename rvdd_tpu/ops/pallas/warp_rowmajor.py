@@ -331,6 +331,15 @@ def warp_planar_pallas(
     prepadded: x is [(H*C), WL + STATE_LANE_EXTRA] with edge-replicated
     margins already in place (STATE_PAD_LEFT lanes left) — skips the XLA
     edge-pad pre-pass (a full HBM round trip per call)."""
+    if debug_skip:
+        # timing-attribution stubs produce garbage output by design; keep
+        # them unreachable from production call sites (tools set the env)
+        import os
+
+        assert os.environ.get("RVDD_DEBUG_SKIP"), (
+            "debug_skip is a profiling aid that skips compute stages; set "
+            "RVDD_DEBUG_SKIP=1 to acknowledge (tools/warp_attrib.py does)"
+        )
     hc, wl = x.shape
     if prepadded:
         wl = wl - STATE_LANE_EXTRA

@@ -134,10 +134,15 @@ def test_fast_step_batched_streams_match_singles():
         np.testing.assert_array_equal(np.asarray(den2_b[bi]), np.asarray(den2_s[0]))
 
 
-@pytest.mark.parametrize("feat_rec,fd", [(True, 1)])
-def test_fast_step_convnext_matches_generic(feat_rec, fd):
+@pytest.mark.parametrize("feat_rec,fd,state_dtype",
+                         [(True, 1, "bfloat16"), (True, 1, "float32")])
+def test_fast_step_convnext_matches_generic(feat_rec, fd, state_dtype):
     """Flagship ConvNeXt+feat+future fused engine step (combine-state dec2
-    emit) vs the generic XLA step.  h=64 is the fast path's minimum."""
+    emit) vs the generic XLA step.  h=64 is the fast path's minimum.
+
+    state_dtype='float32' pins the production configuration's row-wise fp32
+    state dual-write (convnext_pallas state_write with out_dtype=float32) —
+    the carry path the on-chip PARITY numbers ride."""
     h = w = 64
     in_nc = (2 + fd) * 3
     net_ref = build_network("newunet-mode=feat", in_nc, 3, feat_rec)
@@ -166,7 +171,7 @@ def test_fast_step_convnext_matches_generic(feat_rec, fd):
 
     cfg_fast = EngineConfig(
         model_patch_depth=2, patch_depth=2 + fd, future_patch_depth=fd,
-        feature_rec=feat_rec, net_impl="fused", state_dtype="bfloat16",
+        feature_rec=feat_rec, net_impl="fused", state_dtype=state_dtype,
     )
     got, fstate = inference_step(
         cfg_fast, net_fast, params, None, frames, flows, nil

@@ -110,6 +110,9 @@ def main():
 
     if "--attrib" in sys.argv:
         # cost attribution: skip one stage at a time (mxu rows=8)
+        import os
+
+        os.environ["RVDD_DEBUG_SKIP"] = "1"  # acknowledge the garbage output
         blocks = tuple(mkblock(rng, F, False) for _ in range(1))
         hps = (False,)
         for impl in ("mxu", "mxu2"):
