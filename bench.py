@@ -65,8 +65,8 @@ def main():
     ap.add_argument("--dw_group", type=int, default=None,
                     help="override the dw channel-group width")
     ap.add_argument("--precision", default="auto",
-                    choices=["auto", "fast", "mixed", "accurate", "wsplit", "wf32"],
-                    help="fused-path numerics preset (FUSED_PRECISIONS); "
+                    help="fused-path numerics preset (FUSED_PRECISIONS key "
+                    "or 'hybrid:<chain>+...' per-chain mixed/fast blend); "
                     "auto = fastest preset within the 0.05 dB parity budget "
                     "for the variant")
     ap.add_argument("--state_dtype", default="float32",

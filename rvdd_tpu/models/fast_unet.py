@@ -66,6 +66,48 @@ FUSED_PRECISIONS = {
                  gelu_exact=False, weight_dtype=jnp.float32),
 }
 
+#: chain names accepted by hybrid presets (fast_forward_planar wnames +
+#: 'middle' for the eighth-res XLA core + 'glue' for everything between
+#: chains: planar input/feat conversion, warp windows, pools, upsamples)
+HYBRID_CHAINS = ("A", "B", "C", "middle", "dec0", "dec1", "dec2", "glue")
+
+
+def get_fused_precision(name: str) -> dict:
+    """Resolve a FUSED_PRECISIONS key, including dynamic per-chain hybrids.
+
+    ``hybrid:<c1>+<c2>+...`` (chains from HYBRID_CHAINS) runs the named
+    chains with the ``mixed`` numerics — fp32 band storage contracted by
+    3-pass bf16_3x (``high``) dots — while every other chain keeps the
+    ``fast`` preset's bf16 bands / 1-pass dots (incl. its selective dec2
+    weight split when dec2 itself stays fast).  This is the
+    variant-tuned middle ground between ``fast`` and ``mixed`` for nets
+    whose bf16 error concentrates in a subset of chains."""
+    if name.startswith("hybrid:"):
+        chains = tuple(name[len("hybrid:"):].split("+"))
+        bad = [c for c in chains if c not in HYBRID_CHAINS]
+        if bad:
+            raise ValueError(f"unknown hybrid chains {bad}; pick from {HYBRID_CHAINS}")
+        wd = None if "dec2" in chains else {
+            "dec2": (None, None, None, "split", "split")}
+        return dict(
+            band_dtype={c: jnp.float32 for c in chains},
+            mxu_precision={c: "high" for c in chains if c != "glue"},
+            gelu_exact=False,
+            weight_dtype=wd,
+        )
+    return FUSED_PRECISIONS[name]
+
+
+def glue_dtype(prec: dict):
+    """Inter-chain ('glue') storage dtype for a resolved preset: planar
+    input/feat conversion, warp windows, pools, lane upsamples.  Scalar
+    presets use their band dtype; per-chain dicts default the glue to
+    bf16 unless the hybrid names 'glue' explicitly."""
+    bd = prec["band_dtype"]
+    if isinstance(bd, dict):
+        return bd.get("glue", jnp.bfloat16)
+    return bd
+
 
 def resolve_fused_precision(
     name: str, *, arch: str, feature_rec: bool, future: bool
@@ -73,12 +115,17 @@ def resolve_fused_precision(
     """Resolve the 'auto' fused-precision preset: the fastest preset
     measured within the 0.05 dB parity budget for the variant (PARITY.md
     fused table).  Every fused variant takes 'fast' except the
-    convunet+feat-future net, which amplifies bf16 stage rounding ~10x
-    (measured -0.30 dB under 'fast') and gets the 3-pass 'mixed' preset."""
+    convunet+feat-future net, whose bf16 error recirculates on the
+    full-resolution recurrence cycle (carry -> warp -> chain A -> skip0
+    -> chain dec2 -> carry; -0.30 dB under 'fast', PARITY.md round-5
+    attribution).  Closing just that cycle in fp32 — the
+    'hybrid:glue+A+dec2' preset — measures -0.002/-0.004 dB while the
+    five low-res chains keep the fast bf16/1-pass numerics (the all-fp32
+    'mixed' ladder rung costs 2x)."""
     if name != "auto":
         return name
     if arch.startswith("convunet") and feature_rec and future:
-        return "mixed"
+        return "hybrid:glue+A+dec2"
     return "fast"
 
 
@@ -406,6 +453,9 @@ def _chain(packed_chain, x, aux, h, w, interpret, aux_channels=None,
     bdt = prec["band_dtype"]
     if isinstance(bdt, dict):  # per-chain band storage override
         bdt = bdt.get(wname, jnp.bfloat16)
+    mp = prec["mxu_precision"]
+    if isinstance(mp, dict):  # per-chain dot-precision override (hybrid)
+        mp = mp.get(wname, "default")
     return fused_conv_chain(
         x,
         packed_chain["ws"],
@@ -422,7 +472,7 @@ def _chain(packed_chain, x, aux, h, w, interpret, aux_channels=None,
         upsample_input=upsample_input,
         out_dtype=out_dtype or bdt,
         band_dtype=bdt,
-        mxu_precision=prec["mxu_precision"],
+        mxu_precision=mp,
         weight_dtype=wd,
         interpret=interpret,
     )
@@ -443,10 +493,11 @@ def fast_forward_planar(
     (drift), while per-frame input rounding does not."""
     wl = xp.shape[-1]
     assert wl % 512 == 0, "planar lane count must be a 512-multiple"
-    prec = FUSED_PRECISIONS[precision]
-    bd = prec["band_dtype"]
-    if isinstance(bd, dict):  # per-chain experiment presets: bf16 glue
-        bd = jnp.bfloat16
+    prec = get_fused_precision(precision)
+    bd = glue_dtype(prec)
+    mid_mp = prec["mxu_precision"]
+    if isinstance(mid_mp, dict):
+        mid_mp = mid_mp.get("middle", "default")
 
     skip0, d0pre = _chain(
         packed["A"], xp, aux, h, w, interpret, aux_channels, prec=prec,
@@ -465,8 +516,11 @@ def fast_forward_planar(
                           prec=prec, wname="C")
     d2 = lanepool2x_planar(d2pre)
 
-    d2_nhwc = from_planar(d2, h // 8, w // 8)[None].astype(bd)
-    m8 = _middle8(packed["params_mid"], d2_nhwc, prec["mxu_precision"])[0]
+    # hybrid presets that include 'middle' run the eighth-res core on fp32
+    # operands (the bands chain C emits are already fp32 when C is hybrid)
+    mid_bd = jnp.float32 if mid_mp != "default" else bd
+    d2_nhwc = from_planar(d2, h // 8, w // 8)[None].astype(mid_bd)
+    m8 = _middle8(packed["params_mid"], d2_nhwc, mid_mp)[0]
 
     # the dec chains upsample rows inside the kernel; lanes are upsampled by
     # the cheap lower-res XLA pass (no full-res HBM round trip)
@@ -511,15 +565,13 @@ def fast_forward_planar(
         return state3, None
     new_feat, out = _chain(
         packed["dec2"], dec1_lanes, skip0, h, w, interpret,
-        upsample_input=True, prec=prec,
+        upsample_input=True, prec=prec, wname="dec2",
     )
     return out, (new_feat if net.feature_rec else None)
 
 
 def _fast_forward_one(net, packed, x, feat, h, w, wl, interpret, precision="fast"):
-    bd = FUSED_PRECISIONS[precision]["band_dtype"]
-    if isinstance(bd, dict):  # per-chain override: inputs use the default
-        bd = jnp.bfloat16
+    bd = glue_dtype(get_fused_precision(precision))
     xp = to_planar(x, wl, c_pad=packed["in_pad"] - x.shape[-1], dtype=bd)
     auxp = to_planar(feat, wl, dtype=bd) if net.feature_rec else None
     out, new_feat = fast_forward_planar(

@@ -213,10 +213,9 @@ def _fused_state_c(cfg: EngineConfig) -> int:
 
 
 def _fused_band_dtype(cfg: EngineConfig):
-    from rvdd_tpu.models.fast_unet import FUSED_PRECISIONS
+    from rvdd_tpu.models.fast_unet import get_fused_precision, glue_dtype
 
-    bd = FUSED_PRECISIONS[cfg.fused_precision]["band_dtype"]
-    return jnp.bfloat16 if isinstance(bd, dict) else bd
+    return glue_dtype(get_fused_precision(cfg.fused_precision))
 
 
 def _fused_state_dtype(cfg: EngineConfig):

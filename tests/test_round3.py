@@ -63,14 +63,14 @@ def test_distributed_flag_calls_jax_distributed_initialize(monkeypatch, tmp_path
 
 def test_fused_precision_auto_resolution():
     """'auto' = the fastest preset measured within the 0.05 dB parity
-    budget per variant (PARITY.md fused table): 'mixed' only for the
-    convunet+feat-future exception, 'fast' everywhere else; explicit
-    names pass through untouched."""
+    budget per variant (PARITY.md fused table): the full-res-cycle
+    hybrid only for the convunet+feat-future exception, 'fast'
+    everywhere else; explicit names pass through untouched."""
     from rvdd_tpu.models.fast_unet import resolve_fused_precision
 
     r = resolve_fused_precision
     assert r("auto", arch="convunet-mode=fixedfeatures+feat",
-             feature_rec=True, future=True) == "mixed"
+             feature_rec=True, future=True) == "hybrid:glue+A+dec2"
     assert r("auto", arch="convunet-mode=fixedfeatures+feat",
              feature_rec=True, future=False) == "fast"
     assert r("auto", arch="convunet-mode=fixedfeatures",
@@ -88,7 +88,7 @@ def test_fused_precision_auto_resolution():
         future_patch_depth=1, patch_depth=3,
     )
     opt.isTrain = False
-    assert opt.finalize().engine_config().fused_precision == "mixed"
+    assert opt.finalize().engine_config().fused_precision == "hybrid:glue+A+dec2"
 
 
 def test_fused_precision_presets_complete():

@@ -116,8 +116,8 @@ def main():
     ap.add_argument("--cache", default="/tmp/fused_quality/exact_cache.json")
     ap.add_argument("--out", default="/tmp/fused_quality/results.json")
     ap.add_argument("--fused_precision", default="fast",
-                    choices=["auto", "fast", "mixed", "accurate", "wsplit",
-                             "wf32"])
+                    help="FUSED_PRECISIONS key or 'hybrid:<chain>+...' "
+                    "(per-chain mixed/fast blend, fast_unet.py)")
     ap.add_argument("--exact_glue", action="store_true",
                     help="run the fused pipeline's XLA glue (demosaic, flow "
                     "upsample, middle) at HIGHEST matmul precision — "
