@@ -295,6 +295,13 @@ def fast_forward_planar_cnx(
     wl = xp.shape[-1]
     assert wl % 512 == 0
     ch = packed["chains"]
+    if precision.startswith("hybrid:"):
+        raise ValueError(
+            "per-chain hybrid presets are a ConvUNet feature (its chains "
+            "are named A/B/C/middle/dec0-2); the ConvNeXt fused path "
+            "measures -0.011 dB under plain 'fast' (PARITY.md) and needs "
+            "no hybrid — pick fast/mixed/accurate"
+        )
     prec = FUSED_PRECISIONS[precision]
     bd = prec["band_dtype"]
 
@@ -368,9 +375,9 @@ def convnext_fast_forward(
     """NHWC wrapper (tests); the engine uses fast_forward_planar_cnx."""
     b, h, w, _ = x.shape
     wl = -(-(w + 1) // 512) * 512
-    bd = FUSED_PRECISIONS[precision]["band_dtype"]
-    if isinstance(bd, dict):  # per-chain override: inputs use the default
-        bd = jnp.bfloat16
+    from rvdd_tpu.models.fast_unet import get_fused_precision, glue_dtype
+
+    bd = glue_dtype(get_fused_precision(precision))
     outs, feats = [], []
     for bi in range(b):
         xp = to_planar(x[bi], wl, c_pad=packed["in_pad"] - x.shape[-1], dtype=bd)
