@@ -7,11 +7,15 @@ kernel work targets the measured bottleneck.
     python tools/cnx_chain_bench.py
 """
 
+import os
+import sys
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from rvdd_tpu.ops.pallas.convnext_pallas import fused_convnext_chain
 

@@ -1,6 +1,11 @@
+import os
+import sys
 import time
 import numpy as np
 import jax, jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from rvdd_tpu.ops import (tvl1_flow_pair, warp, hamilton_adams, psnr, to_net, flow_upsample_2x)
 from rvdd_tpu.ops.pipeline import synthesize_raw, find_gains, forward_pipeline, Gains
 
